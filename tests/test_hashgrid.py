@@ -1,0 +1,130 @@
+"""Hash-grid encoding unit tests vs a plain-numpy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avr_tpu.config import EncodingConfig
+from avr_tpu.models import hashgrid
+
+PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint64)
+
+
+def numpy_encode(table, static, x):
+    """Straight-line trilinear hash encoding oracle."""
+    x = np.clip(np.asarray(x, np.float64), 0.0, 1.0)
+    N = x.shape[0]
+    out = np.zeros((N, static.n_levels * static.n_features), np.float64)
+    tab = np.asarray(table, np.float64)
+    for l in range(static.n_levels):
+        res = static.resolutions[l]
+        scaled = x * res
+        p0 = np.minimum(np.floor(scaled).astype(np.int64), res - 1)
+        p0 = np.maximum(p0, 0)
+        frac = scaled - p0
+        acc = np.zeros((N, static.n_features), np.float64)
+        for c in range(8):
+            off = np.array([(c >> d) & 1 for d in range(3)])
+            coords = np.minimum(p0 + off, res)
+            if static.hashed[l]:
+                h = (
+                    (coords[:, 0].astype(np.uint64) * PRIMES[0])
+                    ^ (coords[:, 1].astype(np.uint64) * PRIMES[1])
+                    ^ (coords[:, 2].astype(np.uint64) * PRIMES[2])
+                ) & np.uint64(0xFFFFFFFF)
+                idx = (h % np.uint64(static.sizes[l])).astype(np.int64)
+            else:
+                stride = res + 1
+                idx = coords[:, 0] + coords[:, 1] * stride + coords[:, 2] * stride**2
+            w = np.prod(np.where(off, frac, 1.0 - frac), axis=-1)
+            acc += tab[static.offsets[l] + idx] * w[:, None]
+        out[:, l * static.n_features : (l + 1) * static.n_features] = acc
+    return out
+
+
+def make(cfg=None):
+    cfg = cfg or EncodingConfig(
+        n_levels=6, n_features_per_level=2, log2_hashmap_size=7,
+        base_resolution=3, per_level_scale=1.7,
+    )
+    static = hashgrid.build_static(cfg)
+    table = hashgrid.init(jax.random.PRNGKey(0), static)
+    return static, table
+
+
+def test_static_levels():
+    static, _ = make()
+    assert static.resolutions[0] == 3
+    assert all(
+        static.resolutions[i] <= static.resolutions[i + 1]
+        for i in range(len(static.resolutions) - 1)
+    )
+    # coarse levels dense, fine levels hashed at 2^7=128 entries
+    assert not static.hashed[0]
+    assert static.hashed[-1]
+    assert static.sizes[-1] == 128
+    assert static.total_entries == sum(static.sizes)
+
+
+def test_encode_matches_numpy_oracle(rng):
+    static, table = make()
+    x = rng.uniform(0, 1, size=(200, 3)).astype(np.float32)
+    got = np.asarray(hashgrid.encode(table, static, jnp.asarray(x)))
+    want = numpy_encode(table, static, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+
+
+def test_encode_handles_boundaries(rng):
+    static, table = make()
+    x = np.array(
+        [[0, 0, 0], [1, 1, 1], [0, 1, 0.5], [1e-8, 1 - 1e-8, 0.999]], np.float32
+    )
+    got = np.asarray(hashgrid.encode(table, static, jnp.asarray(x)))
+    want = numpy_encode(table, static, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+    assert np.all(np.isfinite(got))
+    # out-of-range inputs are clamped, not garbage
+    x_oob = np.array([[-0.5, 1.5, 0.3]], np.float32)
+    got_oob = np.asarray(hashgrid.encode(table, static, jnp.asarray(x_oob)))
+    got_cl = np.asarray(
+        hashgrid.encode(table, static, jnp.asarray([[0.0, 1.0, 0.3]], jnp.float32))
+    )
+    np.testing.assert_allclose(got_oob, got_cl, atol=1e-7)
+
+
+def test_encode_gradients_scatter_to_table(rng):
+    static, table = make()
+    x = jnp.asarray(rng.uniform(0.1, 0.9, size=(16, 3)), jnp.float32)
+
+    def loss(tab):
+        return jnp.sum(hashgrid.encode(tab, static, x) ** 2)
+
+    g = jax.grad(loss)(table)
+    assert g.shape == table.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+    # finite-difference spot check on one touched entry
+    gn = np.asarray(g)
+    i = int(np.argmax(np.abs(gn).sum(axis=-1)))
+    eps = 1e-4
+    tp = table.at[i, 0].add(eps)
+    tm = table.at[i, 0].add(-eps)
+    fd = (loss(tp) - loss(tm)) / (2 * eps)
+    np.testing.assert_allclose(float(fd), gn[i, 0], rtol=2e-2, atol=1e-5)
+
+
+def test_interpolation_is_continuous():
+    static, table = make()
+    # walk across a cell boundary of the coarsest level: no jumps
+    xs = np.stack(
+        [np.linspace(0.3301, 0.3367, 64)] * 3, axis=-1
+    ).astype(np.float32)
+    enc = np.asarray(hashgrid.encode(table, static, jnp.asarray(xs)))
+    jumps = np.abs(np.diff(enc, axis=0)).max()
+    assert jumps < 5e-4  # features are ~1e-4 scale; continuity
+
+
+def test_frequency_encoding_shape():
+    x = jnp.asarray([[0.1, 0.5, 0.9]], jnp.float32)
+    enc = hashgrid.frequency_encode(x, 4)
+    assert enc.shape == (1, 24)
