@@ -1,0 +1,1 @@
+from avr_tpu.parallel.mesh import MeshPlan, make_mesh_plan  # noqa: F401

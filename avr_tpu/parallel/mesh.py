@@ -1,0 +1,87 @@
+"""Device-mesh planning and sharding for multi-chip rendering/training.
+
+TPU-native replacement for the reference's NCCL DDP / DataParallel
+(reference/avr_runner_ddp.py:37-46,98; avr_runner.py:63). There is no
+process-group management: a 2-D ``jax.sharding.Mesh`` with axes
+
+    ('data', 'ray')
+
+shards the batch over 'data' and the spherical ray directions over 'ray'.
+The renderer's per-ray computation is embarrassingly parallel up to the
+final spherical integration (Σ over rays), which XLA's SPMD partitioner
+turns into an all-reduce over the 'ray' axis riding ICI — the workload's
+analog of context/sequence parallelism (SURVEY.md §2.12). Parameter
+gradients are all-reduced over both axes by the same mechanism and the
+latency-hiding scheduler overlaps them with the backward pass.
+
+The model is tiny (MLPs + hash tables), so parameters stay fully
+replicated; the scaling dimensions are batch and rays, exactly mirroring
+how the reference scales (batch over GPUs; rays were never scaled there).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshPlan:
+    mesh: Mesh
+    data_axis: str = "data"
+    ray_axis: str = "ray"
+
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape[self.data_axis]
+
+    @property
+    def n_ray(self) -> int:
+        return self.mesh.shape[self.ray_axis]
+
+    # ---- shardings -------------------------------------------------
+    def batch_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.data_axis))
+
+    def dirs_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.ray_axis))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        s = self.batch_sharding()
+        return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def make_mesh_plan(
+    devices: Optional[Sequence[jax.Device]] = None,
+    batch_size: Optional[int] = None,
+    data_parallel: Optional[int] = None,
+) -> MeshPlan:
+    """Factor the device grid into (data, ray) axes.
+
+    By default the data axis gets the largest power-of-two factor that
+    divides the batch size (so batch shards are equal), and the remainder
+    goes to ray parallelism — rays are abundant (650-3202 per query) so
+    uneven ray shards cost little.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data_parallel is None:
+        data_parallel = 1
+        if batch_size:
+            while (
+                data_parallel * 2 <= n
+                and n % (data_parallel * 2) == 0
+                and batch_size % (data_parallel * 2) == 0
+            ):
+                data_parallel *= 2
+    if n % data_parallel:
+        raise ValueError(f"{n} devices not divisible by data_parallel={data_parallel}")
+    grid = np.asarray(devices).reshape(data_parallel, n // data_parallel)
+    return MeshPlan(mesh=Mesh(grid, ("data", "ray")))

@@ -1,0 +1,314 @@
+"""Training driver: the TPU-native counterpart of reference/avr_runner.py.
+
+One runner covers single-chip and multi-chip (the reference needed three:
+avr_runner.py / avr_runner_ddp.py / avr_runner_cpu.py — here the platform
+and mesh are just parameters, and the CPU "oracle runner" is the same
+code on the CPU backend).
+
+Responsibilities (mirroring avr_runner.py:25-372):
+  * dataset loading per config, train/test samplers;
+  * jitted train step (Adam + cosine schedule + clip + NaN guards);
+  * scalar logging every `log_freq` iters ('train_loss', 'learning rate'
+    tags like avr_runner.py:203-208) to TensorBoard + JSONL;
+  * orbax checkpointing every `save_freq` (params/opt_state/step),
+    resume from latest;
+  * validation every `val_freq`: render the full test set with a fixed
+    eval key, compute loss + numpy metrics (+stds), log under
+    {mode}_loss/ {mode}_metric/ {mode}_metric_std/ tags
+    (avr_runner.py:409-417), and dump `val_iter{it:06d}.npz` with keys
+    ori_sig/pred_sig/position_rx/position_tx[/ch_idx]/fs — byte-
+    compatible with the reference dumps the whole DoA suite consumes
+    (avr_runner.py:278-302).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avr_tpu.config import AVRConfig
+from avr_tpu.data.loaders import Dataset, load_dataset
+from avr_tpu.data.sampler import BatchSampler
+from avr_tpu.losses import CriterionConfig, criterion
+from avr_tpu.metrics import metric_cal
+from avr_tpu.models import field as field_lib
+from avr_tpu.parallel.mesh import MeshPlan
+from avr_tpu.render.common import make_consts
+from avr_tpu.train.state import TrainState, init_state, make_train_step
+from avr_tpu.utils.logging import MetricsWriter, configure_logger
+
+METRIC_KEYS = ("Angle", "Amplitude", "Envelope", "T60", "C50", "EDT", "multi_stft")
+
+
+class AVRRunner:
+    def __init__(
+        self,
+        cfg: AVRConfig,
+        dataset_dir: str,
+        batch_size: Optional[int] = None,
+        mesh_plan: Optional[MeshPlan] = None,
+        train_data: Optional[Dataset] = None,
+        test_data: Optional[Dataset] = None,
+    ):
+        self.cfg = cfg
+        self.batch_size = batch_size or cfg.train.batch_size
+        self.mesh_plan = mesh_plan
+        self.logdir = os.path.join(cfg.path.logdir, cfg.path.expname)
+        os.makedirs(self.logdir, exist_ok=True)
+        self.logger = configure_logger(self.logdir)
+        self.writer = MetricsWriter(self.logdir)
+        cfg.to_yaml(os.path.join(self.logdir, "avr_conf.yml"))  # config backup
+
+        seq_len = cfg.model.signal_output_dim
+        dt = cfg.path.dataset_type
+        self.train_data = train_data if train_data is not None else load_dataset(
+            dataset_dir, dt, eval=False, seq_len=seq_len, fs=cfg.render.fs
+        )
+        self.test_data = test_data if test_data is not None else load_dataset(
+            dataset_dir, dt, eval=True, seq_len=seq_len, fs=cfg.render.fs
+        )
+        self.logger.info(
+            "dataset %s: %d train / %d test", dt, len(self.train_data), len(self.test_data)
+        )
+
+        group8 = bool(
+            cfg.train.das_reg_loss_weight > 0 or cfg.train.das_ce_loss_weight > 0
+        ) and bool(cfg.train.extra.get("group_sampling", False))
+        self.train_sampler = BatchSampler(
+            self.train_data, self.batch_size, shuffle=True, seed=cfg.train.seed,
+            jitter=True, group8=group8,
+        )
+
+        self.fstatic = field_lib.build_field(cfg.model, dt)
+        self.consts = make_consts(cfg.render, seq_len)
+        self.crit = CriterionConfig.from_configs(cfg.train, cfg.render)
+        self.state = init_state(
+            jax.random.PRNGKey(cfg.train.seed), self.fstatic, cfg.train
+        )
+        self._step_fn, self._render_fn = make_train_step(
+            self.fstatic, self.consts, cfg.render, cfg.train, self.crit, mesh_plan
+        )
+        self._eval_render = jax.jit(self._render_fn)
+        self._key = jax.random.PRNGKey(cfg.train.seed + 1)
+
+        self._ckpt_dir = os.path.join(os.path.abspath(self.logdir), "ckpts")
+        self._ckpt_mgr = self._make_ckpt_manager()
+        if cfg.train.load_ckpt:
+            self.load_checkpoint()
+
+    # ------------------------------------------------------------------
+    def _make_ckpt_manager(self):
+        import orbax.checkpoint as ocp
+
+        return ocp.CheckpointManager(
+            self._ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=5)
+        )
+
+    def save_checkpoint(self) -> int:
+        import orbax.checkpoint as ocp
+
+        step = int(self.state.step)
+        self._ckpt_mgr.save(
+            step, args=ocp.args.StandardSave(jax.device_get(self.state))
+        )
+        self._ckpt_mgr.wait_until_finished()
+        return step
+
+    def load_checkpoint(self, step: Optional[int] = None) -> bool:
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self._ckpt_mgr.latest_step()
+        if step is None:
+            self.logger.info("no checkpoint to resume from")
+            return False
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), jax.device_get(self.state)
+        )
+        self.state = self._ckpt_mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+        self.logger.info("resumed from checkpoint step %d", int(self.state.step))
+        return True
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        if self.mesh_plan is not None:
+            sb = self.mesh_plan.batch_sharding()
+            return {k: jax.device_put(v, sb) for k, v in batch.items()}
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def train(self) -> None:
+        tc = self.cfg.train
+        self.logger.info("start training at step %d", int(self.state.step))
+        t_last = time.time()
+        it = int(self.state.step)
+        while it < tc.total_iterations:
+            for batch in self.train_sampler.epoch():
+                self._key, k = jax.random.split(self._key)
+                self.state, bundle = self._step_fn(self.state, self._device_batch(batch), k)
+                it = int(self.state.step)
+
+                if it % tc.log_freq == 0:
+                    b = jax.device_get(bundle)
+                    total = float(np.sum([np.asarray(v) for v in b[:8]]))
+                    self.writer.scalar("train_loss", total, it)
+                    self.writer.scalars(
+                        {k_: float(v) for k_, v in b.as_dict().items()},
+                        it, prefix="train_loss_terms/",
+                    )
+                    rate = tc.log_freq * self.batch_size / max(time.time() - t_last, 1e-9)
+                    self.writer.scalar("samples_per_sec", rate, it)
+                    self.writer.scalar("learning rate", self._current_lr(it), it)
+                    t_last = time.time()
+                if it % tc.save_freq == 0 and it > 0:
+                    self.logger.info("saved checkpoint at step %d", self.save_checkpoint())
+                if it % tc.val_freq == 0 and it > 0:
+                    self.validate(it)
+                if it >= tc.total_iterations:
+                    break
+        self.save_checkpoint()
+        self.writer.flush()
+
+    def _current_lr(self, step: int) -> float:
+        tc = self.cfg.train
+        t = min(step, tc.T_max)
+        return tc.eta_min + 0.5 * (tc.lr - tc.eta_min) * (
+            1.0 + float(np.cos(np.pi * t / max(1, tc.T_max)))
+        )
+
+    # ------------------------------------------------------------------
+    def render_dataset(
+        self, data: Dataset, max_batches: Optional[int] = None, eval_seed: int = 1234
+    ):
+        """Render a dataset split with a fixed direction key.
+
+        Returns (pred complex64 [N, F], ori complex64 [N, F]).
+        The reference renders eval batches with fresh random azimuth
+        offsets per call (renderer.py:148-150 has no eval switch); we use
+        a fixed key so validation curves are reproducible.
+        """
+        from avr_tpu import geometry
+
+        dirs = geometry.ray_directions(
+            self.cfg.render.n_azi, self.cfg.render.n_ele, key=jax.random.PRNGKey(eval_seed)
+        )
+        bs = self.batch_size
+        sampler = BatchSampler(data, bs, shuffle=False, jitter=False, drop_last=False)
+        preds, oris = [], []
+        n_batches = len(sampler) if max_batches is None else min(len(sampler), max_batches)
+        count = 0
+        for batch in sampler.epoch():
+            if count >= n_batches:
+                break
+            count += 1
+            n_real = batch["pos_rx"].shape[0]
+            if n_real < bs:  # pad to the jitted static shape
+                batch = {
+                    k: np.concatenate([v, np.repeat(v[-1:], bs - n_real, axis=0)])
+                    for k, v in batch.items()
+                }
+            db = self._device_batch(batch)
+            out = jax.device_get(self._eval_render(self.state.params, db, dirs))
+            pred = (out[..., 0] + 1j * out[..., 1]).astype(np.complex64)[:n_real]
+            wave = batch["wave"][:n_real]
+            preds.append(pred)
+            oris.append((wave[..., 0] + 1j * wave[..., 1]).astype(np.complex64))
+        return np.concatenate(preds), np.concatenate(oris)
+
+    def validate(self, iteration: int, mode_set: str = "test") -> Dict[str, float]:
+        data = self.test_data if mode_set == "test" else self.train_data
+        max_b = None if mode_set == "test" else 15
+        pred, ori = self.render_dataset(data, max_batches=max_b)
+
+        bundle, ori_t, pred_t = jax.device_get(
+            criterion(
+                jnp.stack([pred.real, pred.imag], -1),
+                jnp.stack([ori.real, ori.imag], -1),
+                self.crit,
+            )
+        )
+        losses = {
+            "spec_loss": float(bundle.spec),
+            "fft_loss": float(bundle.amplitude) + float(bundle.angle),
+            "time_loss": float(bundle.time),
+            "energy_loss": float(bundle.energy),
+            "multi_stft_loss": float(bundle.multi_stft),
+            "das_reg_loss": float(bundle.das_reg),
+            "das_ce_loss": float(bundle.das_ce),
+        }
+        per_sample = [
+            metric_cal(np.asarray(ori_t[i : i + 1]), np.asarray(pred_t[i : i + 1]),
+                       fs=self.cfg.render.fs)
+            for i in range(min(len(pred), 256))
+        ]
+        names = dict(zip(METRIC_KEYS, ("angle_error", "amp_error", "env_error",
+                                       "t60_error", "c50_error", "edt_error", "multi_stft")))
+        metrics = {
+            k: float(np.nanmean([getattr(m, names[k]) for m in per_sample]))
+            for k in METRIC_KEYS
+        }
+        stds = {
+            k: float(np.nanstd([getattr(m, names[k]) for m in per_sample]))
+            for k in METRIC_KEYS
+        }
+        self.writer.scalars(losses, iteration, prefix=f"{mode_set}_loss/")
+        self.writer.scalars(metrics, iteration, prefix=f"{mode_set}_metric/")
+        self.writer.scalars(stds, iteration, prefix=f"{mode_set}_metric_std/")
+        self.logger.info(
+            "val@%d %s", iteration,
+            " ".join(f"{k}:{v:.4f}" for k, v in metrics.items()),
+        )
+
+        if mode_set == "test":
+            npz_dir = os.path.join(self.logdir, "val_result")
+            os.makedirs(npz_dir, exist_ok=True)
+            payload = dict(
+                ori_sig=ori, pred_sig=pred,
+                position_rx=data.pos_rx, position_tx=data.pos_tx,
+                fs=self.cfg.render.fs,
+            )
+            if data.ch_idx is not None:
+                payload["ch_idx"] = data.ch_idx
+            np.savez_compressed(
+                os.path.join(npz_dir, f"val_iter{iteration:06d}.npz"), **payload
+            )
+        return metrics
+
+
+# ----------------------------------------------------------------------
+def main(argv=None) -> None:
+    """CLI mirroring `python avr_runner.py --mode train --config X.yml
+    --dataset_dir D` (reference/avr_runner.py:419-424)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="avr_tpu trainer")
+    p.add_argument("--mode", default="train", choices=["train", "test"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--dataset_dir", required=True)
+    p.add_argument("--batchsize", type=int, default=None)
+    p.add_argument("--data_parallel", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = AVRConfig.from_yaml(args.config)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from avr_tpu.parallel.mesh import make_mesh_plan
+
+        mesh = make_mesh_plan(
+            batch_size=args.batchsize or cfg.train.batch_size,
+            data_parallel=args.data_parallel,
+        )
+    runner = AVRRunner(cfg, args.dataset_dir, batch_size=args.batchsize, mesh_plan=mesh)
+    if args.mode == "train":
+        runner.train()
+    else:
+        runner.validate(int(runner.state.step))
+
+
+if __name__ == "__main__":
+    main()

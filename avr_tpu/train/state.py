@@ -1,0 +1,152 @@
+"""Optimizer + jittable train step.
+
+Reproduces the reference's optimization semantics
+(reference/avr_runner.py:67-73,183-200) in optax:
+
+  * Adam(β=0.9, 0.999) with cosine-annealed lr → eta_min (torch
+    CosineAnnealingLR == optax.cosine_decay_schedule with
+    alpha=eta_min/lr), L2 weight decay folded into the gradient like
+    torch's Adam(weight_decay=·);
+  * global-norm clip at 1.0 followed by zeroing of non-finite gradient
+    entries (a NaN global norm NaNs every entry, which the zeroing then
+    nulls — the same net effect as the reference's post-clip scrub);
+  * NaN-loss skip: if the energy loss is non-finite the whole update
+    (params, optimizer state, step count, schedule position) is dropped,
+    mirroring the reference's `continue` (avr_runner.py:183-185).
+
+The step is pure and jit-able; multi-chip sharding comes from constraints
+on the batch ('data') and ray directions ('ray') when a MeshPlan is given
+— XLA SPMD inserts the psum for the spherical integral and the gradient
+all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from avr_tpu import geometry
+from avr_tpu.config import RenderConfig, TrainConfig
+from avr_tpu.losses import CriterionConfig, LossBundle, criterion
+from avr_tpu.models import field as field_lib
+from avr_tpu.parallel.mesh import MeshPlan
+from avr_tpu.render.common import RenderConsts
+from avr_tpu.render.fused import render_fused
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 completed-update counter
+
+
+def zero_nonfinite() -> optax.GradientTransformation:
+    """Zero NaN/Inf gradient entries (reference/avr_runner.py:192-197)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return (
+            jax.tree_util.tree_map(
+                lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), updates
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.cosine_decay_schedule(
+        init_value=tc.lr,
+        decay_steps=max(1, tc.T_max),
+        alpha=tc.eta_min / tc.lr if tc.lr else 0.0,
+    )
+    chain = [
+        optax.clip_by_global_norm(1.0),
+        zero_nonfinite(),
+    ]
+    if tc.weight_decay:
+        chain.append(optax.add_decayed_weights(tc.weight_decay))
+    chain += [
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(schedule),
+    ]
+    return optax.chain(*chain)
+
+
+def init_state(key: jax.Array, fstatic, tc: TrainConfig) -> TrainState:
+    params = field_lib.init(key, fstatic)
+    tx = make_optimizer(tc)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    fstatic,
+    consts: RenderConsts,
+    rc: RenderConfig,
+    tc: TrainConfig,
+    crit: CriterionConfig,
+    mesh_plan: Optional[MeshPlan] = None,
+):
+    """Build the jitted train step: (state, batch, key) → (state, bundle)."""
+    tx = make_optimizer(tc)
+    compute_dtype = (
+        None if tc.compute_dtype in ("float32", "none", None) else jnp.dtype(tc.compute_dtype)
+    )
+
+    def constrain(x, spec):
+        if mesh_plan is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(mesh_plan.mesh, spec)
+        )
+
+    def render(params, batch: Dict[str, jax.Array], dirs: jax.Array) -> jax.Array:
+        return render_fused(
+            params,
+            fstatic,
+            consts,
+            rc,
+            constrain(batch["pos_rx"], P("data")),
+            constrain(batch["pos_tx"], P("data")),
+            direction_tx=batch.get("rot_tx"),
+            ch_idx=batch.get("ch_idx"),
+            dirs=dirs,
+            compute_dtype=compute_dtype,
+            shell_chunk=tc.shell_chunk,
+            remat=tc.remat,
+        )
+
+    def loss_fn(params, batch, dirs) -> Tuple[jax.Array, LossBundle]:
+        pred = render(params, batch, dirs)
+        bundle, _, _ = criterion(pred, batch["wave"], crit)
+        return bundle.total, bundle
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+        dirs = geometry.ray_directions(rc.n_azi, rc.n_ele, key=key)
+        dirs = constrain(dirs, P("ray"))
+        (_, bundle), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, dirs
+        )
+        # Reference skips the iteration when the energy loss goes NaN
+        # (avr_runner.py:183-185); non-finite covers inf as well.
+        skip = jnp.logical_not(jnp.isfinite(bundle.energy))
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = TrainState(
+            optax.apply_updates(state.params, updates), new_opt, state.step + 1
+        )
+        state_out = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(skip, o, n), new_state, state
+        )
+        return state_out, bundle
+
+    return jax.jit(train_step, donate_argnums=(0,)), render

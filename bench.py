@@ -1,0 +1,84 @@
+"""Benchmark: rays/s/chip for the fwd+bwd frequency-domain render.
+
+Measures the flagship RAF-Furnished workload (650 rays × 32 samples ×
+1600-dim IR @ 16 kHz, batch 4 — reference/config_files/
+avr_raf_furnished.yml:16-44): one full value_and_grad of the spectral
+loss through the fused renderer per step, on whatever device JAX selects
+(the real TPU chip under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is relative to BASELINE_RAYS_S, the first recorded
+single-chip measurement of this workload on TPU v5e (this repo's own
+round-1 anchor — the reference publishes no numbers, BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _flagship_config
+from avr_tpu.models import field as field_lib
+from avr_tpu.render.common import make_consts
+from avr_tpu.render.fused import render_fused
+
+# First recorded single-chip fwd+bwd measurement (TPU v5e, round 1).
+BASELINE_RAYS_S = 100_000.0
+
+
+def main() -> None:
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    cfg = _flagship_config()
+    fst = field_lib.build_field(cfg.model, "RAF")
+    consts = make_consts(cfg.render, cfg.model.signal_output_dim)
+    params = field_lib.init(jax.random.PRNGKey(0), fst)
+
+    bs = cfg.train.batch_size
+    R = cfg.render.n_rays
+    rng = np.random.default_rng(0)
+    rays_o = jnp.asarray(rng.uniform(-2, 2, (bs, 3)), jnp.float32)
+    tx = jnp.asarray(rng.uniform(-2, 2, (bs, 3)), jnp.float32)
+    d = rng.normal(size=(bs, 3))
+    tx_view = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    F = cfg.model.signal_output_dim // 2 + 1
+    target = jnp.asarray(rng.normal(size=(bs, F, 2)) * 1e-3, jnp.float32)
+
+    def loss_fn(p, key):
+        out = render_fused(
+            p, fst, consts, cfg.render, rays_o, tx, direction_tx=tx_view,
+            key=key, shell_chunk=cfg.train.shell_chunk,
+        )
+        return jnp.mean(jnp.abs(out - target))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    loss, grads = grad_fn(params, key)
+    jax.block_until_ready((loss, grads))
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        loss, grads = grad_fn(params, k)
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+
+    rays_per_s = bs * R * steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_s_per_chip_fwd_bwd",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / BASELINE_RAYS_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""End-to-end training tests: loss decreases, checkpoints resume, NaN
+guards work, and the sharded multi-chip step runs on the 8-device CPU
+mesh producing the same math as single-device."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avr_tpu.config import AVRConfig, PathConfig, TrainConfig
+from avr_tpu.data import loaders, synthetic
+from avr_tpu.parallel.mesh import make_mesh_plan
+from avr_tpu.train.runner import AVRRunner
+from avr_tpu.train.state import TrainState, init_state, make_optimizer, make_train_step
+
+from conftest import tiny_model_config, tiny_render_config
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    room = synthetic.RoomSpec(size=(4.0, 3.0, 2.5), max_order=2, fs=4000, seq_len=256)
+    d = str(tmp_path_factory.mktemp("simu"))
+    synthetic.write_simu_dataset(d, room, n=24)
+    return d
+
+
+def tiny_cfg(logdir: str) -> AVRConfig:
+    rc = tiny_render_config(n_samples=8, n_azi=6, n_ele=3, fs=4000)
+    rc.far = 6.0
+    rc.xyz_min, rc.xyz_max = [0.0] * 3, [4.0] * 3
+    return AVRConfig(
+        path=PathConfig(expname="tiny", dataset_type="Simu", logdir=logdir),
+        render=rc,
+        train=TrainConfig(
+            lr=5e-3, T_max=50, eta_min=1e-4, total_iterations=12,
+            save_freq=6, val_freq=6, batch_size=4, log_freq=2,
+            compute_dtype="float32", seed=0,
+        ),
+        model=tiny_model_config(signal_output_dim=256),
+    )
+
+
+def test_runner_trains_and_validates(tmp_path, dataset_dir):
+    cfg = tiny_cfg(str(tmp_path / "logs"))
+    runner = AVRRunner(cfg, dataset_dir)
+    l0_bundle = None
+    runner.train()
+    assert int(runner.state.step) == 12
+
+    # validation artifacts exist and have the reference npz schema
+    npz_dir = os.path.join(runner.logdir, "val_result")
+    files = sorted(os.listdir(npz_dir))
+    assert files, "no val npz dumped"
+    z = np.load(os.path.join(npz_dir, files[-1]))
+    for key in ("ori_sig", "pred_sig", "position_rx", "position_tx", "fs"):
+        assert key in z, key
+    assert z["pred_sig"].dtype == np.complex64
+    assert z["pred_sig"].shape == z["ori_sig"].shape
+    # metrics stream written
+    assert os.path.exists(os.path.join(runner.logdir, "metrics.jsonl"))
+    # config backup written
+    assert os.path.exists(os.path.join(runner.logdir, "avr_conf.yml"))
+
+
+def test_checkpoint_resume(tmp_path, dataset_dir):
+    cfg = tiny_cfg(str(tmp_path / "logs"))
+    cfg.train.total_iterations = 6
+    runner = AVRRunner(cfg, dataset_dir)
+    runner.train()
+    p0 = jax.device_get(runner.state.params)
+
+    cfg2 = tiny_cfg(str(tmp_path / "logs"))
+    cfg2.train.total_iterations = 6
+    cfg2.train.load_ckpt = True
+    runner2 = AVRRunner(cfg2, dataset_dir)
+    assert int(runner2.state.step) == 6
+    p1 = jax.device_get(runner2.state.params)
+    flat0, _ = jax.tree_util.tree_flatten(p0)
+    flat1, _ = jax.tree_util.tree_flatten(p1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loss_decreases_over_training(tmp_path, dataset_dir):
+    cfg = tiny_cfg(str(tmp_path / "logs"))
+    cfg.train.total_iterations = 30
+    cfg.train.val_freq = 10_000
+    cfg.train.save_freq = 10_000
+    runner = AVRRunner(cfg, dataset_dir)
+
+    data = runner.train_data
+    batch = runner.train_sampler.gather(np.arange(4))
+    db = runner._device_batch(batch)
+    from avr_tpu.losses import criterion
+
+    def eval_loss():
+        from avr_tpu import geometry
+        dirs = geometry.ray_directions(cfg.render.n_azi, cfg.render.n_ele)
+        pred = runner._eval_render(runner.state.params, db, dirs)
+        bundle, _, _ = criterion(pred, db["wave"], runner.crit)
+        return float(bundle.total)
+
+    before = eval_loss()
+    runner.train()
+    after = eval_loss()
+    assert after < before, f"loss did not improve: {before} -> {after}"
+
+
+def test_nan_guard_skips_update(dataset_dir):
+    cfg = tiny_cfg("/tmp/nan_guard_logs")
+    fstatic_cfg = cfg
+    from avr_tpu.losses import CriterionConfig
+    from avr_tpu.models import field as field_lib
+    from avr_tpu.render.common import make_consts
+
+    fst = field_lib.build_field(cfg.model, "Simu")
+    consts = make_consts(cfg.render, cfg.model.signal_output_dim)
+    crit = CriterionConfig.from_configs(cfg.train, cfg.render)
+    step_fn, _ = make_train_step(fst, consts, cfg.render, cfg.train, crit)
+    state = init_state(jax.random.PRNGKey(0), fst, cfg.train)
+
+    F = cfg.model.signal_output_dim // 2 + 1
+    bad_batch = {
+        "wave": jnp.full((4, F, 2), jnp.nan, jnp.float32),
+        "pos_rx": jnp.ones((4, 3), jnp.float32),
+        "pos_tx": jnp.ones((4, 3), jnp.float32) * 2,
+    }
+    # the step donates its input state — snapshot params first
+    params_before = jax.device_get(state.params)
+    new_state, bundle = step_fn(state, bad_batch, jax.random.PRNGKey(1))
+    assert not np.isfinite(float(bundle.energy))
+    assert int(new_state.step) == 0  # update skipped
+    f0, _ = jax.tree_util.tree_flatten(params_before)
+    f1, _ = jax.tree_util.tree_flatten(jax.device_get(new_state.params))
+    for a, b in zip(f0, f1):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_step_matches_single_device(dataset_dir):
+    """GSPMD (data×ray mesh over 8 CPU devices) must be numerically
+    equivalent to the unsharded step."""
+    cfg = tiny_cfg("/tmp/shard_logs")
+    from avr_tpu.losses import CriterionConfig
+    from avr_tpu.models import field as field_lib
+    from avr_tpu.render.common import make_consts
+
+    fst = field_lib.build_field(cfg.model, "Simu")
+    consts = make_consts(cfg.render, cfg.model.signal_output_dim)
+    crit = CriterionConfig.from_configs(cfg.train, cfg.render)
+
+    data = loaders.load_dataset(dataset_dir, "Simu", eval=False, seq_len=256, fs=4000)
+    from avr_tpu.data.sampler import BatchSampler
+
+    batch = BatchSampler(data, 4, shuffle=False).gather(np.arange(4))
+
+    plan = make_mesh_plan(batch_size=4)
+    assert plan.n_data * plan.n_ray == 8
+
+    step_plain, _ = make_train_step(fst, consts, cfg.render, cfg.train, crit)
+    step_shard, _ = make_train_step(fst, consts, cfg.render, cfg.train, crit, plan)
+
+    s0 = init_state(jax.random.PRNGKey(0), fst, cfg.train)
+    key = jax.random.PRNGKey(42)
+    s_plain, b_plain = step_plain(s0, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    s1 = init_state(jax.random.PRNGKey(0), fst, cfg.train)
+    db = plan.shard_batch(batch)
+    s_shard, b_shard = step_shard(s1, db, key)
+
+    np.testing.assert_allclose(
+        float(b_plain.total), float(b_shard.total), rtol=1e-5
+    )
+    fp, _ = jax.tree_util.tree_flatten(jax.device_get(s_plain.params))
+    fs_, _ = jax.tree_util.tree_flatten(jax.device_get(s_shard.params))
+    for a, b in zip(fp, fs_):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
