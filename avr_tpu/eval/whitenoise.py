@@ -1,0 +1,233 @@
+"""White-noise playback DoA evaluation pipelines.
+
+Re-design of reference/whitenoise_long_doa.py and
+whitenoise_bandpass_doa.py: seeded white noise is convolved with each
+8-channel predicted/GT IR group (frequency-domain convolution), STFT'd
+under a grid of (nfft, hop, window) conditions, and a sliding window of
+`T_use` frames is swept across the signal with a DoA estimate per window;
+per-window angles are aggregated with circular statistics. The bandpass
+variant additionally sweeps Butterworth-4 band edges (sosfiltfilt) and
+noise lengths. Results are cached per condition as pickles (resume-safe:
+existing files are reused unless force=True — the reference's
+cache-keyed-by-existence contract, whitenoise_long_doa.py:259-291) and a
+ranked summary CSV is produced.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from avr_tpu.eval import doa as doa_lib
+
+
+# -------------------- circular statistics --------------------
+def angular_error_deg(a: float, b: float) -> float:
+    return abs((a - b + 180.0) % 360.0 - 180.0)
+
+
+def circ_mean_deg(angles_deg: Sequence[float]) -> Tuple[float, float]:
+    """(circular mean [deg 0..360), resultant length R∈[0,1])."""
+    if len(angles_deg) == 0:
+        return float("nan"), 0.0
+    a = np.deg2rad(np.asarray(angles_deg))
+    C, S = float(np.cos(a).sum()), float(np.sin(a).sum())
+    mu = (math.degrees(math.atan2(S, C)) + 360.0) % 360.0
+    return mu, math.hypot(C, S) / len(angles_deg)
+
+
+def circ_stats_deg(angles_deg: Sequence[float]) -> Tuple[float, float, float]:
+    """(circular mean, circular variance 1−R, circular std [deg])."""
+    mu, R = circ_mean_deg(angles_deg)
+    std = (
+        math.degrees(math.sqrt(max(0.0, -2.0 * math.log(max(R, 1e-12)))))
+        if R > 0
+        else float("nan")
+    )
+    return mu, 1.0 - R, std
+
+
+# -------------------- synthesis --------------------
+def convolve_noise_with_group(
+    group_spec: np.ndarray, seconds: float, fs: int, seed: int
+) -> np.ndarray:
+    """Seeded white noise through each channel's IR: [M, F] → [M, T_long].
+
+    FFT-based linear convolution (the reference uses scipy fftconvolve on
+    the irfft'd IRs — whitenoise_long_doa.py:95-104).
+    """
+    rng = np.random.default_rng(seed)
+    n_long = int(seconds * fs)
+    noise = rng.standard_normal(n_long).astype(np.float32)
+    ir = np.fft.irfft(group_spec, axis=-1).real  # [M, T_ir]
+    t_ir = ir.shape[-1]
+    n_out = n_long + t_ir - 1
+    nfft = 1 << (n_out - 1).bit_length()
+    out = np.fft.irfft(
+        np.fft.rfft(noise, nfft)[None, :] * np.fft.rfft(ir, nfft, axis=-1), nfft, axis=-1
+    )[:, :n_out]
+    return out.astype(np.float32)
+
+
+def bandpass_sos(low_hz: float, high_hz: float, fs: int, order: int = 4):
+    from scipy.signal import butter
+
+    return butter(order, [low_hz, high_hz], btype="bandpass", fs=fs, output="sos")
+
+
+def apply_bandpass(x: np.ndarray, low_hz: float, high_hz: float, fs: int) -> np.ndarray:
+    from scipy.signal import sosfiltfilt
+
+    return sosfiltfilt(bandpass_sos(low_hz, high_hz, fs), x, axis=-1).astype(np.float32)
+
+
+def stft_condition(y: np.ndarray, nfft: int, hop: int, win: str) -> np.ndarray:
+    """[M, T] → [M, F, frames]; win ∈ {"hann", "none"}."""
+    if win == "hann":
+        w = 0.5 * (1 - np.cos(2 * np.pi * np.arange(nfft) / nfft))
+    else:
+        w = np.ones(nfft)
+    n_frames = 1 + (y.shape[-1] - nfft) // hop
+    if n_frames < 1:
+        raise ValueError("signal shorter than one frame")
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(nfft)[None, :]
+    return np.fft.rfft(y[..., idx] * w, axis=-1).swapaxes(-1, -2).astype(np.complex64)
+
+
+# -------------------- sliding-window DoA --------------------
+def sliding_window_doa(
+    X: np.ndarray,
+    mic_xy: np.ndarray,
+    fs: int,
+    nfft: int,
+    t_use: int,
+    algo: str = "NormMUSIC",
+    max_windows: int = 64,
+) -> List[float]:
+    """DoA per sliding block of `t_use` STFT frames → list of degrees."""
+    n_frames = X.shape[-1]
+    n_win = n_frames // t_use
+    starts = np.arange(min(n_win, max_windows)) * t_use
+    out = []
+    for s in starts:
+        sp = doa_lib.doa_spectrum(X[..., s : s + t_use], mic_xy, fs, nfft, algo)
+        out.append(doa_lib.estimate_azimuth_deg(sp))
+    return out
+
+
+# -------------------- pipeline --------------------
+@dataclass
+class WhitenoiseConfig:
+    """Schema of whitenoise_config/whitenoise_long_config.yml."""
+
+    npz: str
+    outdir: str
+    fs: int = 16000
+    seeds: List[int] = field(default_factory=lambda: [0])
+    long_noise_seconds: float = 100.0
+    stft_grid: List[Dict[str, Any]] = field(
+        default_factory=lambda: [{"nfft": 512, "hop": 256, "win": "hann"}]
+    )
+    T_use_list: List[int] = field(default_factory=lambda: [16, 64, 256])
+    algo_name: str = "NormMUSIC"
+    mic_radius: float = 0.0365
+    force: bool = False
+    # bandpass variant extras
+    bands_hz: Optional[List[Tuple[float, float]]] = None
+    noise_seconds_list: Optional[List[float]] = None
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "WhitenoiseConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+
+def run_whitenoise_eval(cfg: WhitenoiseConfig) -> "object":
+    """Long-noise (and optionally bandpass) sliding-window DoA sweep.
+
+    Returns a pandas DataFrame ranked by mean |error| vs the GT-signal
+    estimate; caches each (seed, stft, T_use[, band, length]) condition
+    as its own pickle under cfg.outdir.
+    """
+    import pandas as pd
+
+    os.makedirs(cfg.outdir, exist_ok=True)
+    data = np.load(os.path.expanduser(cfg.npz))
+    groups = list(doa_lib.iter_groups(data))
+
+    bands = cfg.bands_hz or [None]
+    lengths = cfg.noise_seconds_list or [cfg.long_noise_seconds]
+    rows = []
+    for seed, stft_c, t_use, band, seconds in itertools.product(
+        cfg.seeds, cfg.stft_grid, cfg.T_use_list, bands, lengths
+    ):
+        tag = (
+            f"seed{seed}_nfft{stft_c['nfft']}_hop{stft_c['hop']}_{stft_c['win']}"
+            f"_T{t_use}_len{seconds:g}"
+            + (f"_band{band[0]:g}-{band[1]:g}" if band else "")
+        )
+        cache = os.path.join(cfg.outdir, f"results_{tag}.pkl")
+        if os.path.exists(cache) and not cfg.force:
+            with open(cache, "rb") as f:
+                cond = pickle.load(f)
+        else:
+            cond = _run_condition(
+                groups, cfg, seed, stft_c, t_use, band, seconds
+            )
+            with open(cache, "wb") as f:
+                pickle.dump(cond, f)
+        rows.append({"tag": tag, **cond["summary"]})
+
+    df = pd.DataFrame(rows).sort_values("mean_pred_vs_gt").reset_index(drop=True)
+    df.to_csv(os.path.join(cfg.outdir, "summary_ranked.csv"), index=False)
+    return df
+
+
+def _run_condition(groups, cfg: WhitenoiseConfig, seed, stft_c, t_use, band, seconds):
+    per_group = []
+    errs_gt, errs_true = [], []
+    for pred_group, ori_group, rx_pos, tx_pos in groups:
+        mic_center = rx_pos[:, :2].mean(axis=0)
+        mic_xy = doa_lib.circular_2d_array(mic_center, rx_pos.shape[0], cfg.mic_radius)
+        true_deg = (
+            math.degrees(
+                math.atan2(tx_pos[1] - mic_center[1], tx_pos[0] - mic_center[0])
+            )
+            % 360
+        )
+        angles = {}
+        for name, spec in (("pred", pred_group), ("gt", ori_group)):
+            y = convolve_noise_with_group(spec, seconds, cfg.fs, seed)
+            if band is not None:
+                y = apply_bandpass(y, band[0], band[1], cfg.fs)
+            X = stft_condition(y, stft_c["nfft"], stft_c["hop"], stft_c["win"])
+            win_angles = sliding_window_doa(
+                X, mic_xy, cfg.fs, stft_c["nfft"], t_use, cfg.algo_name
+            )
+            mu, var, std = circ_stats_deg(win_angles)
+            angles[name] = {"mean": mu, "var": var, "std": std, "windows": win_angles}
+        e_gt = angular_error_deg(angles["pred"]["mean"], angles["gt"]["mean"])
+        e_true = angular_error_deg(angles["pred"]["mean"], true_deg)
+        errs_gt.append(e_gt)
+        errs_true.append(e_true)
+        per_group.append({"true_deg": true_deg, **angles,
+                          "err_pred_vs_gt": e_gt, "err_pred_vs_true": e_true})
+    return {
+        "per_group": per_group,
+        "summary": {
+            "mean_pred_vs_gt": float(np.mean(errs_gt)),
+            "median_pred_vs_gt": float(np.median(errs_gt)),
+            "mean_pred_vs_true": float(np.mean(errs_true)),
+            "n_groups": len(per_group),
+        },
+    }

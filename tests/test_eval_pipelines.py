@@ -1,0 +1,131 @@
+"""Rotation-sweep and white-noise evaluation pipeline tests."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from avr_tpu.data import loaders
+from avr_tpu.eval import doa, rotate, whitenoise
+
+from test_doa import make_group_signals
+
+
+def analytic_render_fn(seq_len=1600, fs=16000):
+    """A 'perfect model': renders the far-field plane-wave spectra for the
+    true tx direction at the queried mic positions."""
+
+    def render_fn(pos_rx, pos_tx, ch_idx=None):
+        center = pos_rx[:, :2].mean(axis=0)
+        ang = np.degrees(
+            np.arctan2(pos_tx[0, 1] - center[1], pos_tx[0, 0] - center[0])
+        ) % 360
+        sig, _ = make_group_signals(ang, fs=fs, T=seq_len, seed=3)
+        return sig
+
+    return render_fn
+
+
+def make_dataset(angles, seq_len=1600, fs=16000):
+    rxs, txs, waves, chs = [], [], [], []
+    for g, ang in enumerate(angles):
+        sig, mic_xy = make_group_signals(ang, fs=fs, T=seq_len, seed=g)
+        center = np.asarray([2.0 + g, 2.0])
+        rxs.append(np.concatenate(
+            [mic_xy.T - mic_xy.mean(axis=1) + center, np.full((8, 1), 1.2)], axis=1
+        ))
+        tx = center + 2.5 * np.asarray([np.cos(np.deg2rad(ang)), np.sin(np.deg2rad(ang))])
+        txs.append(np.tile([*tx, 1.2], (8, 1)))
+        waves.append(sig)
+        chs.extend(range(8))
+    return loaders.Dataset(
+        wave=np.concatenate(waves).astype(np.complex64),
+        pos_rx=np.concatenate(rxs).astype(np.float32),
+        pos_tx=np.concatenate(txs).astype(np.float32),
+        ch_idx=np.asarray(chs, np.int32),
+        dataset_type="Real_env", fs=fs, seq_len=seq_len,
+    )
+
+
+def test_rotation_eval(tmp_path):
+    data = make_dataset([60.0, 200.0])
+    out = str(tmp_path / "rot")
+    res = rotate.rotate_group_eval(
+        analytic_render_fn(), data,
+        xyz_min=[-20, -20, -20], xyz_max=[20, 20, 20],
+        fs=16000, seq_len=1600, deg_step=90.0, out_dir=out,
+    )
+    # 2 groups × 4 rotations, all in bounds
+    assert len(res["pred_deg"]) == 8
+    assert res["pred_sig"].shape[0] == 8 * 8
+    errs = [doa.angular_error_deg(p, t) for p, t in zip(res["pred_deg"], res["true_deg"])]
+    assert np.mean(errs) < 10  # analytic model nails the direction
+    assert os.path.exists(os.path.join(out, "summary.csv"))
+    assert os.path.exists(os.path.join(out, "overall.txt"))
+    z = np.load(os.path.join(out, "val_rotate_pred.npz"))
+    for k in ("pred_sig", "position_rx", "position_tx", "pred_deg", "true_deg",
+              "fs", "n_fft", "mic_radius", "group_size", "deg_step"):
+        assert k in z
+
+
+def test_rotation_bounds_filtering(tmp_path):
+    data = make_dataset([10.0])
+    res = rotate.rotate_group_eval(
+        analytic_render_fn(), data,
+        xyz_min=[0, 0, 0], xyz_max=[3.0, 2.4, 3.0],  # tight: some rotations clip
+        fs=16000, seq_len=1600, deg_step=90.0,
+    )
+    assert len(res["pred_deg"]) < 4
+
+
+def test_circular_stats():
+    mu, R = whitenoise.circ_mean_deg([350.0, 10.0])
+    assert doa.angular_error_deg(mu, 0.0) < 1e-6
+    assert R > 0.98
+    mu, var, std = whitenoise.circ_stats_deg([90.0, 90.0, 90.0])
+    assert abs(mu - 90) < 1e-9 and var < 1e-9 and std < 1e-3
+    mu, var, std = whitenoise.circ_stats_deg([0.0, 90.0, 180.0, 270.0])
+    assert var > 0.99  # uniform → variance ≈ 1
+
+
+def test_whitenoise_pipeline(tmp_path):
+    # tiny npz with 2 groups
+    from test_doa import _fake_npz
+
+    npz = _fake_npz(tmp_path, [45.0, 135.0])
+    cfg = whitenoise.WhitenoiseConfig(
+        npz=npz, outdir=str(tmp_path / "wn"), fs=16000,
+        seeds=[0], long_noise_seconds=2.0,
+        stft_grid=[{"nfft": 256, "hop": 128, "win": "hann"}],
+        T_use_list=[8, 16],
+    )
+    df = whitenoise.run_whitenoise_eval(cfg)
+    assert len(df) == 2  # two T_use conditions
+    assert df["mean_pred_vs_gt"].iloc[0] <= df["mean_pred_vs_gt"].iloc[-1]
+    assert (df["mean_pred_vs_gt"] < 15).all()
+    assert os.path.exists(os.path.join(cfg.outdir, "summary_ranked.csv"))
+    pkls = [f for f in os.listdir(cfg.outdir) if f.endswith(".pkl")]
+    assert len(pkls) == 2
+
+    # resume-safety: rerun must reuse caches (mtime unchanged)
+    mtimes = {f: os.path.getmtime(os.path.join(cfg.outdir, f)) for f in pkls}
+    whitenoise.run_whitenoise_eval(cfg)
+    for f in pkls:
+        assert os.path.getmtime(os.path.join(cfg.outdir, f)) == mtimes[f]
+
+
+def test_whitenoise_bandpass(tmp_path):
+    from test_doa import _fake_npz
+
+    npz = _fake_npz(tmp_path, [250.0])
+    cfg = whitenoise.WhitenoiseConfig(
+        npz=npz, outdir=str(tmp_path / "bp"), fs=16000,
+        seeds=[0], long_noise_seconds=2.0,
+        stft_grid=[{"nfft": 256, "hop": 128, "win": "none"}],
+        T_use_list=[16],
+        bands_hz=[(500.0, 3000.0)],
+    )
+    df = whitenoise.run_whitenoise_eval(cfg)
+    assert len(df) == 1
+    assert df["mean_pred_vs_gt"].iloc[0] < 20
