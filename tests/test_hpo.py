@@ -1,0 +1,119 @@
+"""HPO engine tests: sampler convergence, SQLite resume, config mutation."""
+
+import os
+
+import numpy as np
+import pytest
+
+from avr_tpu.config import AVRConfig, PathConfig
+from avr_tpu.hpo import runner as hpo_runner
+from avr_tpu.hpo.study import create_study
+
+
+def quadratic(trial):
+    x = trial.suggest_float("x", -5.0, 5.0)
+    y = trial.suggest_float("y", 1e-3, 10.0, log=True)
+    return (x - 1.2) ** 2 + (np.log(y) - 0.0) ** 2
+
+
+def test_tpe_beats_random_on_quadratic():
+    study = create_study("q", seed=0)
+    study.optimize(quadratic, n_trials=60)
+    assert study.best_value < 0.5
+    # TPE concentrates: late trials should cluster near the optimum
+    late = [t["params"]["x"] for t in study.trials[-15:]]
+    assert abs(np.median(late) - 1.2) < 1.5
+
+
+def test_int_and_categorical():
+    def obj(trial):
+        n = trial.suggest_int("n", 1, 8)
+        c = trial.suggest_categorical("c", ["a", "b", "c"])
+        return abs(n - 6) + (0.0 if c == "b" else 1.0)
+
+    study = create_study("ic", seed=1)
+    study.optimize(obj, n_trials=50)
+    assert study.best_value <= 1.0
+    assert study.best_params["n"] in range(1, 9)
+
+
+def test_sqlite_resume(tmp_path):
+    storage = f"sqlite:///{tmp_path}/study.db"
+    s1 = create_study("resume_test", storage=storage, seed=0)
+    s1.optimize(quadratic, n_trials=10)
+    assert len(s1.trials) == 10
+
+    s2 = create_study("resume_test", storage=storage, seed=1)
+    assert len(s2.trials) == 10  # history restored
+    s2.optimize(quadratic, n_trials=5)
+    assert len(s2.trials) == 15
+    # trial numbers continue monotonically
+    nums = [t["number"] for t in s2.trials]
+    assert nums == sorted(nums) and nums[-1] == 14
+
+
+def test_update_config_scaling():
+    cfg = AVRConfig()
+    cfg.path = PathConfig(expname="real_exp_param_0_1")
+    cfg.train.batch_size = 4
+    cfg.train.total_iterations = 33200
+    cfg.train.T_max = 33200
+    cfg.train.save_freq = 3320
+    cfg.train.val_freq = 3320
+
+    class FakeTrial:
+        number = 3
+        def suggest_int(self, name, lo, hi):
+            return {"batch_size": 3}.get(name, lo)  # batch 2^3 = 8
+        def suggest_float(self, name, lo, hi, log=False):
+            return lo if not log else lo
+        def suggest_categorical(self, name, choices):
+            return choices[0]
+
+    out = hpo_runner.update_config(cfg, 40, 3, FakeTrial(), "base")
+    assert out.train.batch_size == 8
+    assert out.train.total_iterations == 16600  # halved (ceil)
+    assert out.path.expname == "real_exp_param_43_1"
+    # base config untouched (deep copy)
+    assert cfg.train.batch_size == 4
+    assert cfg.path.expname == "real_exp_param_0_1"
+
+
+def test_variant_das_forces_batch8():
+    cfg = AVRConfig()
+    cfg.train.batch_size = 4
+
+    class FakeTrial:
+        number = 0
+        def suggest_int(self, name, lo, hi):
+            return lo
+        def suggest_float(self, name, lo, hi, log=False):
+            return max(lo, 1.0)
+        def suggest_categorical(self, name, choices):
+            return choices[0]
+
+    out = hpo_runner.update_config(cfg, 0, 0, FakeTrial(), "das")
+    assert out.train.batch_size == 8
+    assert out.train.das_reg_loss_weight >= 1.0
+    assert out.model.channel_embed.is_embed
+
+
+def test_doa_objective_from_logdir(tmp_path):
+    from test_doa import _fake_npz
+
+    logdir = str(tmp_path / "trial0")
+    npz_dir = os.path.join(logdir, "val_result")
+    os.makedirs(npz_dir, exist_ok=True)
+    # empty logdir → sentinel
+    assert hpo_runner.doa_objective_from_logdir(str(tmp_path / "nope"), 16000) == 999.0
+
+    import shutil
+
+    src = _fake_npz(tmp_path, [45.0, 200.0])
+    shutil.copy(src, os.path.join(npz_dir, "val_iter000010.npz"))
+    err = hpo_runner.doa_objective_from_logdir(logdir, 16000)
+    assert err < 15
+    # pkl cache created; second call reuses it
+    assert os.path.exists(os.path.join(logdir, "doa_results", "val_iter000010.pkl"))
+    err2 = hpo_runner.doa_objective_from_logdir(logdir, 16000)
+    assert err2 == err
