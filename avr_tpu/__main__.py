@@ -1,0 +1,144 @@
+"""Unified CLI: ``python -m avr_tpu <command> ...``.
+
+Commands mirror the reference's per-script entry points:
+  train      — avr_runner.py          (training / resume)
+  hpo        — optuna_avr_runner*.py  (hyper-parameter search)
+  doa        — plot_eval.run_doa_on_npz / DoA_val_res.py
+  das        — plot_eval.run_delay_and_sum_on_npz
+  rotate     — eval_rotate_doa_avr.py
+  whitenoise — whitenoise_long_doa.py / whitenoise_bandpass_doa.py
+  make-configs — make_config_for_control_exp.py
+  synth      — (new) synthetic shoebox dataset generation
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return
+    cmd, rest = argv[0], argv[1:]
+
+    if cmd == "train":
+        from avr_tpu.train.runner import main as train_main
+
+        train_main(rest)
+    elif cmd == "hpo":
+        from avr_tpu.hpo.runner import main as hpo_main
+
+        hpo_main(rest)
+    elif cmd in ("doa", "das"):
+        import argparse
+        import json
+
+        from avr_tpu.eval import doa
+
+        p = argparse.ArgumentParser(prog=f"avr_tpu {cmd}")
+        p.add_argument("npz")
+        p.add_argument("--fs", type=int, default=16000)
+        p.add_argument("--n_fft", type=int, default=512)
+        p.add_argument("--mic_radius", type=float, default=0.0365)
+        p.add_argument("--algos", nargs="*", default=None)
+        p.add_argument("--save", default=None)
+        a = p.parse_args(rest)
+        if cmd == "doa":
+            res = doa.run_doa_on_npz(
+                a.npz, a.fs, a.n_fft, a.mic_radius, a.algos, a.save
+            )
+        else:
+            res = doa.run_delay_and_sum_on_npz(
+                a.npz, a.fs, a.mic_radius, a.n_fft, save_path=a.save
+            )
+        print(json.dumps(doa.summarize(res), indent=2))
+    elif cmd == "rotate":
+        import argparse
+
+        from avr_tpu.config import AVRConfig
+        from avr_tpu.data.loaders import load_dataset
+        from avr_tpu.eval.rotate import make_render_fn, rotate_group_eval
+        from avr_tpu.train.runner import AVRRunner
+
+        p = argparse.ArgumentParser(prog="avr_tpu rotate")
+        p.add_argument("--config", required=True)
+        p.add_argument("--dataset_dir", required=True)
+        p.add_argument("--deg_step", type=float, default=30.0)
+        p.add_argument("--out_dir", default=None)
+        a = p.parse_args(rest)
+        cfg = AVRConfig.from_yaml(a.config)
+        cfg.train.load_ckpt = True
+        runner = AVRRunner(cfg, a.dataset_dir)
+        out = a.out_dir or f"{runner.logdir}/rotate_eval_avr"
+        rotate_group_eval(
+            make_render_fn(runner),
+            runner.test_data,
+            cfg.render.xyz_min, cfg.render.xyz_max,
+            cfg.render.fs, cfg.model.signal_output_dim,
+            deg_step=a.deg_step, out_dir=out,
+        )
+        print(f"wrote {out}")
+    elif cmd == "whitenoise":
+        import argparse
+
+        from avr_tpu.eval.whitenoise import WhitenoiseConfig, run_whitenoise_eval
+
+        p = argparse.ArgumentParser(prog="avr_tpu whitenoise")
+        p.add_argument("--config", required=True)
+        p.add_argument("--force", action="store_true")
+        a = p.parse_args(rest)
+        cfg = WhitenoiseConfig.from_yaml(a.config)
+        if a.force:
+            cfg.force = True
+        df = run_whitenoise_eval(cfg)
+        print(df.head(10).to_string())
+    elif cmd == "make-configs":
+        import argparse
+
+        import yaml
+
+        from avr_tpu.utils.config_tools import generate_param_variants
+
+        p = argparse.ArgumentParser(prog="avr_tpu make-configs")
+        p.add_argument("--base_dir", required=True)
+        p.add_argument("--params", required=True, help="YAML file of sweep dict")
+        a = p.parse_args(rest)
+        with open(a.params) as f:
+            sweep = yaml.safe_load(f)
+        for path in generate_param_variants(a.base_dir, sweep):
+            print("wrote", path)
+    elif cmd == "synth":
+        import argparse
+
+        from avr_tpu.data import synthetic
+
+        p = argparse.ArgumentParser(prog="avr_tpu synth")
+        p.add_argument("--out", required=True)
+        p.add_argument("--format", default="Simu",
+                       choices=["Simu", "Real_env", "MeshRIR", "RAF"])
+        p.add_argument("--n", type=int, default=100)
+        p.add_argument("--fs", type=int, default=16000)
+        p.add_argument("--seq_len", type=int, default=1600)
+        p.add_argument("--seed", type=int, default=0)
+        a = p.parse_args(rest)
+        room = synthetic.RoomSpec(fs=a.fs, seq_len=a.seq_len)
+        writer = {
+            "Simu": synthetic.write_simu_dataset,
+            "Real_env": synthetic.write_real_env_dataset,
+            "MeshRIR": synthetic.write_meshrir_dataset,
+            "RAF": synthetic.write_raf_dataset,
+        }[a.format]
+        if a.format == "Real_env":
+            writer(a.out, room, n_groups=a.n, seed=a.seed)
+        else:
+            writer(a.out, room, n=a.n, seed=a.seed)
+        print(f"wrote {a.format} dataset ({a.n}) to {a.out}")
+    else:
+        print(f"unknown command {cmd!r}; run with --help")
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,16 +107,31 @@ def _load_mesh_rir(base_folder, eval, seq_len, fs) -> Dataset:
     st = int(9100 / down)  # fixed IR window start (datasets_loader.py:64-65)
     folder = os.path.join(base_folder, "test" if eval else "train")
     names = sorted(f for f in os.listdir(folder) if f.endswith(".npy"))
+    paths = [os.path.join(folder, n) for n in names]
     rx_pos = np.load(os.path.join(base_folder, "pos_mic.npy"))
     tx_pos = np.load(os.path.join(base_folder, "pos_src.npy"))[0]
 
-    waves, rxs, txs = [], [], []
-    for name in names:
-        audio = np.load(os.path.join(folder, name))[0, ::down][st : st + seq_len]
-        waves.append(np.fft.rfft(audio))
-        rxs.append(rx_pos[int(name.split("_")[1].split(".")[0])])
-        txs.append(tx_pos)
+    audio = _batched_npy(paths, seq_len, down, st)
+    waves = list(np.fft.rfft(audio, axis=-1))
+    rxs = [rx_pos[int(n.split("_")[1].split(".")[0])] for n in names]
+    txs = [tx_pos] * len(names)
     return _pack(waves, rxs, txs, None, None, "MeshRIR", fs, seq_len)
+
+
+def _batched_npy(paths, seq_len, stride, start) -> np.ndarray:
+    """Decode per-IR .npy files, preferring the native parallel loader."""
+    try:
+        from avr_tpu import native
+
+        if native.available():
+            return native.load_npy_batch(paths, seq_len, stride, start)
+    except Exception:
+        pass
+    out = np.zeros((len(paths), seq_len), np.float32)
+    for i, p in enumerate(paths):
+        a = np.load(p)[0, ::stride][start : start + seq_len]
+        out[i, : len(a)] = a
+    return out
 
 
 def _load_simu(base_folder, eval, seq_len, fs) -> Dataset:
@@ -152,18 +167,33 @@ def _load_real_env(base_folder, eval, seq_len, fs) -> Dataset:
 def _load_raf(base_folder, eval, seq_len, fs) -> Dataset:
     folders = sorted(glob.glob(os.path.join(base_folder, "test" if eval else "train", "*")))
     down = int(48000 / fs)
+    wav_paths = [os.path.join(f, "rir.wav") for f in folders]
+    audio_all = _batched_wav(wav_paths, seq_len, down)
     waves, rxs, txs, rots = [], [], [], []
-    for folder in folders:
-        audio, _sr = wav_lib.read_wav(os.path.join(folder, "rir.wav"))
-        audio = audio[: seq_len * down : down]
-        if audio.shape[0] < seq_len:
-            audio = np.pad(audio, (0, seq_len - audio.shape[0]))
-        waves.append(np.fft.rfft(audio))
+    for i, folder in enumerate(folders):
+        waves.append(np.fft.rfft(audio_all[i]))
         rxs.append(_read_numbers(os.path.join(folder, "rx_pos.txt"))[[0, 2, 1]])
         tx_info = _read_numbers(os.path.join(folder, "tx_pos.txt"))
         rots.append(np.asarray(quaternion_to_direction(tx_info[:4])))
         txs.append(tx_info[4:][[0, 2, 1]])
     return _pack(waves, rxs, txs, rots, None, "RAF", fs, seq_len)
+
+
+def _batched_wav(paths, seq_len, stride) -> np.ndarray:
+    """Decode WAV files, preferring the native parallel loader."""
+    try:
+        from avr_tpu import native
+
+        if native.available():
+            return native.load_wav_batch(paths, seq_len, stride)
+    except Exception:
+        pass
+    out = np.zeros((len(paths), seq_len), np.float32)
+    for i, p in enumerate(paths):
+        a, _sr = wav_lib.read_wav(p)
+        a = a[: seq_len * stride : stride]
+        out[i, : len(a)] = a
+    return out
 
 
 def _read_numbers(path: str) -> np.ndarray:

@@ -479,6 +479,74 @@ def signal_context(
     return h_ray, h_batch
 
 
+def point_features(
+    params: Dict,
+    static: FieldStatic,
+    pts: Array,
+    tx: Optional[Array] = None,
+    ch_idx: Optional[Array] = None,
+    compute_dtype=None,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """All per-point quantities the signal tail needs, in one pass.
+
+    Returns (sigma_feat [...,D], attn [...,1], psig_enc [...,E] or None).
+    This is the gather-heavy stage: evaluating it ONCE for every sample
+    point (instead of per shell inside the scan) means each hash table
+    sees exactly one gather in the forward and one scatter-add in the
+    backward pass per step.
+    """
+    sigma_feat, attn = sigma_query(
+        params, static, pts, tx=tx, ch_idx=ch_idx, compute_dtype=compute_dtype
+    )
+    psig_enc = (
+        _enc(params, static, "pos_sig", _to01(pts))
+        if static.variant == "complex"
+        else None
+    )
+    return sigma_feat, attn, psig_enc
+
+
+def signal_tail_from_features(
+    params: Dict,
+    static: FieldStatic,
+    sigma_feat: Array,
+    psig_enc: Optional[Array],
+    h_extra: Array,
+    ch_idx: Optional[Array] = None,
+    compute_dtype=None,
+) -> Array:
+    """Signal network given precomputed per-point features (no gathers)."""
+    if static.variant == "complex":
+        dims = [
+            SIGMA_FEAT_COMPLEX,
+            static.encodings["dir"].n_output_dims,
+            static.encodings["tx_dir"].n_output_dims,
+            static.encodings["pos_sig"].n_output_dims,
+            static.encodings["tx_pos_sig"].n_output_dims,
+        ]
+        slices = mlp.input_weight_slices(params["signal"], dims)
+        h = (
+            mlp._matmul(jax.nn.relu(sigma_feat), slices[0], compute_dtype)
+            + mlp._matmul(psig_enc, slices[3], compute_dtype)
+            + h_extra
+        )
+        return mlp.apply_tail(
+            params["signal"], static.signal, h, compute_dtype=compute_dtype
+        )
+    dims = [
+        SIGMA_FEAT_STANDARD,
+        static.encodings["dir"].n_output_dims,
+        static.encodings["tx"].n_output_dims,
+    ] + ([static.emb_dim_sig] if static.sig_mode == "concat" else [])
+    w_feat = mlp.input_weight_slices(params["signal"], dims)[0]
+    h = mlp._matmul(sigma_feat, w_feat, compute_dtype) + h_extra
+    return mlp.apply_tail(
+        params["signal"], static.signal, h,
+        ch_idx=ch_idx if static.sig_mode == "add" else None,
+        compute_dtype=compute_dtype,
+    )
+
+
 def signal_from_parts(
     params: Dict,
     static: FieldStatic,

@@ -63,8 +63,23 @@ def render_fused(
     compute_dtype=jnp.bfloat16,
     shell_chunk: int = 1,
     remat: bool = True,
+    point_budget: int = 4_000_000,
 ) -> Array:
-    """Render received IR spectra [bs, F, 2]. Same contract as render_oracle."""
+    """Render received IR spectra [bs, F, 2]. Same contract as render_oracle.
+
+    Two execution plans share the same math:
+
+    * **precomputed** (bs·R·S ≤ point_budget, the common case): hash
+      encodings + sigma features for ALL sample points are evaluated in
+      one vectorized pass — each hash table sees exactly one gather
+      forward and one scatter-add backward per step — and the shell scan
+      only runs the matmul-only signal tail + masks + reduction + FFT.
+      Per-point features are tens of MB, far below the [bs,R,S,T] signal
+      tensor the scan still avoids.
+    * **streaming** (huge configs): the original plan where the sigma
+      branch is recomputed per shell inside the scan, bounding live
+      memory by one shell chunk at the cost of per-shell gathers.
+    """
     xyz_min = jnp.asarray(rc.xyz_min, jnp.float32)
     xyz_max = jnp.asarray(rc.xyz_max, jnp.float32)
     T = fstatic.signal_output_dim
@@ -90,21 +105,7 @@ def render_fused(
             + dirs[None, :, None, :] * d_c[None, None, :, None]
         )
 
-    # ---------------- pass 1: attenuation ----------------
-    def attn_body(carry, d_c):
-        pts = shell_points(d_c)
-        pts_n = geometry.normalize_points(pts, xyz_min, xyz_max)
-        tx_q = tx_n[:, None, None, :] if is_complex else None
-        _, attn = field_lib.sigma_query(
-            params, fstatic, pts_n, tx=tx_q, ch_idx=ch_b,
-            compute_dtype=compute_dtype,
-        )
-        return carry, attn[..., 0]  # [bs, R, C]
-
-    body_a = jax.checkpoint(attn_body) if remat else attn_body
-    _, attn_chunks = jax.lax.scan(body_a, None, d_vals.reshape(n_chunks, C))
-    attn = attn_chunks.transpose(1, 2, 0, 3).reshape(bs, R, S)
-    w = compositing_weights(attn, d_vals)  # [bs, R, S]
+    precompute = bs * R * S <= point_budget
 
     # ---------------- per-ray / per-batch signal context ----------------
     h_ray, h_batch = field_lib.signal_context(
@@ -113,43 +114,112 @@ def render_fused(
     )
     h_extra = h_ray[None, :, None, :] + h_batch[:, None, None, :]  # [bs,R,1,W]
 
-    # ---------------- pass 2: signal + reduce + spectrum ----------------
-    xs = (
+    # ---------------- pass 1: per-point features + attenuation ----------
+    if precompute:
+        pts_all = shell_points(d_vals)  # [bs, R, S, 3]
+        pts_n_all = geometry.normalize_points(pts_all, xyz_min, xyz_max)
+        tx_q = tx_n[:, None, None, :] if is_complex else None
+        sigma_feat_all, attn_all, psig_all = field_lib.point_features(
+            params, fstatic, pts_n_all, tx=tx_q, ch_idx=ch_b,
+            compute_dtype=compute_dtype,
+        )
+        attn = attn_all[..., 0]
+        dist_all = jnp.linalg.norm(
+            position_tx[:, None, None, :] - pts_all, axis=-1
+        )  # [bs, R, S]
+    else:
+        def attn_body(carry, d_c):
+            pts = shell_points(d_c)
+            pts_n = geometry.normalize_points(pts, xyz_min, xyz_max)
+            tx_q = tx_n[:, None, None, :] if is_complex else None
+            _, a = field_lib.sigma_query(
+                params, fstatic, pts_n, tx=tx_q, ch_idx=ch_b,
+                compute_dtype=compute_dtype,
+            )
+            return carry, a[..., 0]  # [bs, R, C]
+
+        body_a = jax.checkpoint(attn_body) if remat else attn_body
+        _, attn_chunks = jax.lax.scan(body_a, None, d_vals.reshape(n_chunks, C))
+        attn = attn_chunks.transpose(1, 2, 0, 3).reshape(bs, R, S)
+
+    w = compositing_weights(attn, d_vals)  # [bs, R, S]
+
+    # ---------------- pass 2: signal tail + reduce + spectrum -----------
+    xs = [
         d_vals.reshape(n_chunks, C),
         w.reshape(bs, R, n_chunks, C).transpose(2, 0, 1, 3),  # [n,bs,R,C]
         consts.tail_mask.reshape(n_chunks, C, T),
         consts.pathloss.reshape(n_chunks, C, T),
         consts.phase_re.reshape(n_chunks, C, F),
         consts.phase_im.reshape(n_chunks, C, F),
-    )
-
-    def signal_body(carry, x):
-        d_c, w_c, tail_c, pl_c, ph_re, ph_im = x
-        acc_re, acc_im = carry
-        pts = shell_points(d_c)  # [bs, R, C, 3]
-        pts_n = geometry.normalize_points(pts, xyz_min, xyz_max)
-        tx_q = tx_n[:, None, None, :] if is_complex else None
-        sigma_feat, _ = field_lib.sigma_query(
-            params, fstatic, pts_n, tx=tx_q, ch_idx=ch_b,
-            compute_dtype=compute_dtype,
+    ]
+    if precompute:
+        D = sigma_feat_all.shape[-1]
+        xs.append(
+            sigma_feat_all.reshape(bs, R, n_chunks, C, D).transpose(2, 0, 1, 3, 4)
         )
-        signal = field_lib.signal_from_parts(
-            params, fstatic, sigma_feat, pts_n, h_extra,
-            ch_idx=ch_b, compute_dtype=compute_dtype,
-        )  # [bs, R, C, T] fp32
+        xs.append(
+            None
+            if psig_all is None
+            else psig_all.reshape(bs, R, n_chunks, C, -1).transpose(2, 0, 1, 3, 4)
+        )
+        xs.append(dist_all.reshape(bs, R, n_chunks, C).transpose(2, 0, 1, 3))
+        xs = tuple(x for x in xs if x is not None)
 
-        dist_tx = jnp.linalg.norm(position_tx[:, None, None, :] - pts, axis=-1)
+    def spectrum_accumulate(signal, dist_tx, w_c, tail_c, pl_c, ph_re, ph_im, carry):
+        acc_re, acc_im = carry
         head = head_delay_mask(dist_tx, rc.fs, rc.speed, T)  # [bs, R, C, T]
         masked = signal * head * tail_c[None, None, :, :]
-
         # Spherical pre-reduction: contract rays BEFORE the FFT.
         y = jnp.einsum("brc,brct->bct", w_c, masked)  # [bs, C, T]
         spec = jnp.fft.rfft(y * pl_c[None, :, :], axis=-1)  # [bs, C, F]
         re = jnp.real(spec) * ph_re - jnp.imag(spec) * ph_im
         im = jnp.real(spec) * ph_im + jnp.imag(spec) * ph_re
-        return (acc_re + jnp.sum(re, axis=1), acc_im + jnp.sum(im, axis=1)), None
+        return (acc_re + jnp.sum(re, axis=1), acc_im + jnp.sum(im, axis=1))
+
+    if precompute:
+        has_psig = is_complex
+
+        def signal_body(carry, x):
+            if has_psig:
+                d_c, w_c, tail_c, pl_c, ph_re, ph_im, feat_c, psig_c, dist_c = x
+            else:
+                d_c, w_c, tail_c, pl_c, ph_re, ph_im, feat_c = x[:7]
+                psig_c, dist_c = None, x[7]
+            signal = field_lib.signal_tail_from_features(
+                params, fstatic, feat_c, psig_c, h_extra,
+                ch_idx=ch_b, compute_dtype=compute_dtype,
+            )  # [bs, R, C, T] fp32
+            return (
+                spectrum_accumulate(
+                    signal, dist_c, w_c, tail_c, pl_c, ph_re, ph_im, carry
+                ),
+                None,
+            )
+    else:
+
+        def signal_body(carry, x):
+            d_c, w_c, tail_c, pl_c, ph_re, ph_im = x
+            pts = shell_points(d_c)  # [bs, R, C, 3]
+            pts_n = geometry.normalize_points(pts, xyz_min, xyz_max)
+            tx_q = tx_n[:, None, None, :] if is_complex else None
+            sigma_feat, _ = field_lib.sigma_query(
+                params, fstatic, pts_n, tx=tx_q, ch_idx=ch_b,
+                compute_dtype=compute_dtype,
+            )
+            signal = field_lib.signal_from_parts(
+                params, fstatic, sigma_feat, pts_n, h_extra,
+                ch_idx=ch_b, compute_dtype=compute_dtype,
+            )  # [bs, R, C, T] fp32
+            dist_tx = jnp.linalg.norm(position_tx[:, None, None, :] - pts, axis=-1)
+            return (
+                spectrum_accumulate(
+                    signal, dist_tx, w_c, tail_c, pl_c, ph_re, ph_im, carry
+                ),
+                None,
+            )
 
     body_s = jax.checkpoint(signal_body) if remat else signal_body
     init = (jnp.zeros((bs, F), jnp.float32), jnp.zeros((bs, F), jnp.float32))
-    (out_re, out_im), _ = jax.lax.scan(body_s, init, xs)
+    (out_re, out_im), _ = jax.lax.scan(body_s, init, tuple(xs))
     return jnp.stack([out_re, out_im], axis=-1)

@@ -147,10 +147,15 @@ class AVRRunner:
         self.logger.info("start training at step %d", int(self.state.step))
         t_last = time.time()
         it = int(self.state.step)
+        base_key = self._key
+        host_it = it
         while it < tc.total_iterations:
             for batch in self.train_sampler.epoch():
-                self._key, k = jax.random.split(self._key)
-                self.state, bundle = self._step_fn(self.state, self._device_batch(batch), k)
+                host_it += 1
+                self.state, bundle = self._step_fn(
+                    self.state, self._device_batch(batch), base_key,
+                    jnp.asarray(host_it, jnp.int32),
+                )
                 it = int(self.state.step)
 
                 if it % tc.log_freq == 0:

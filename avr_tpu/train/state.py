@@ -131,7 +131,13 @@ def make_train_step(
         bundle, _, _ = criterion(pred, batch["wave"], crit)
         return bundle.total, bundle
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array,
+                   it: Optional[jax.Array] = None):
+        # Fold the iteration counter into the key INSIDE jit — splitting
+        # keys eagerly in the host loop costs ~100 ms/step of dispatch on
+        # remote backends.
+        if it is not None:
+            key = jax.random.fold_in(key, it)
         dirs = geometry.ray_directions(rc.n_azi, rc.n_ele, key=key)
         dirs = constrain(dirs, P("ray"))
         (_, bundle), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -53,17 +53,19 @@ def main() -> None:
         )
         return jnp.mean(jnp.abs(out - target))
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    # Fold the step index into the key INSIDE jit — eager key-splitting in
+    # the timing loop costs ~100s of ms of host dispatch on this backend.
+    grad_fn = jax.jit(
+        lambda p, i: jax.value_and_grad(loss_fn)(p, jax.random.fold_in(jax.random.PRNGKey(0), i))
+    )
 
-    key = jax.random.PRNGKey(0)
     # warmup/compile
-    loss, grads = grad_fn(params, key)
+    loss, grads = grad_fn(params, 0)
     jax.block_until_ready((loss, grads))
 
     t0 = time.perf_counter()
     for i in range(steps):
-        key, k = jax.random.split(key)
-        loss, grads = grad_fn(params, k)
+        loss, grads = grad_fn(params, i + 1)
     jax.block_until_ready((loss, grads))
     dt = time.perf_counter() - t0
 

@@ -87,7 +87,8 @@ def test_oracle_output_shape_and_finite(rng, complex_variant):
 
 @pytest.mark.parametrize("complex_variant", [False, True])
 @pytest.mark.parametrize("shell_chunk", [1, 4])
-def test_fused_matches_oracle_forward(rng, complex_variant, shell_chunk):
+@pytest.mark.parametrize("point_budget", [4_000_000, 0])  # precomputed | streaming
+def test_fused_matches_oracle_forward(rng, complex_variant, shell_chunk, point_budget):
     params, fst, consts, rc = _setup(complex_variant)
     rays_o, tx, tx_view = _batch(rng, 2, complex_variant)
     kw = dict(direction_tx=tx_view)
@@ -98,13 +99,15 @@ def test_fused_matches_oracle_forward(rng, complex_variant, shell_chunk):
         fused.render_fused(
             params, fst, consts, rc, rays_o, tx, **kw,
             compute_dtype=None, shell_chunk=shell_chunk,
+            point_budget=point_budget,
         )
     )
     scale = np.abs(ref).max() + 1e-12
     np.testing.assert_allclose(got / scale, ref / scale, atol=5e-5)
 
 
-def test_fused_matches_oracle_gradients(rng):
+@pytest.mark.parametrize("point_budget", [4_000_000, 0])
+def test_fused_matches_oracle_gradients(rng, point_budget):
     params, fst, consts, rc = _setup()
     rays_o, tx, _ = _batch(rng, 2)
     target = jnp.asarray(rng.normal(size=(2, fst.signal_output_dim // 2 + 1, 2)), jnp.float32)
@@ -119,7 +122,8 @@ def test_fused_matches_oracle_gradients(rng):
     g_fus = jax.grad(
         loss_fn(
             lambda *a, **k: fused.render_fused(
-                *a, **k, compute_dtype=None, shell_chunk=2
+                *a, **k, compute_dtype=None, shell_chunk=2,
+                point_budget=point_budget,
             )
         )
     )(params)
