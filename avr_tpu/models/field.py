@@ -493,8 +493,38 @@ def point_features(
     This is the gather-heavy stage: evaluating it ONCE for every sample
     point (instead of per shell inside the scan) means each hash table
     sees exactly one gather in the forward and one scatter-add in the
-    backward pass per step.
+    backward pass per step. When the complex variant's two position
+    encodings share the same grid geometry (true for every reference RAF
+    config), both are served by a single fused gather (encode_pair).
     """
+    if static.variant == "complex" and _paired_pos(static):
+        e_pos = static.encodings["pos"]
+        pos_enc, psig_enc = hashgrid.encode_pair(
+            params["enc"]["pos"], params["enc"]["pos_sig"], e_pos.grid, _to01(pts)
+        )
+        tx_pos_enc = _enc(params, static, "tx_pos", _to01(tx))
+        tx_pos_enc = jnp.broadcast_to(
+            tx_pos_enc, (*pos_enc.shape[:-1], tx_pos_enc.shape[-1])
+        )
+        w_pos, w_tx = mlp.input_weight_slices(
+            params["sigma_encoder"], [pos_enc.shape[-1], tx_pos_enc.shape[-1]]
+        )
+        h = mlp._matmul(pos_enc, w_pos, compute_dtype) + mlp._matmul(
+            tx_pos_enc, w_tx, compute_dtype
+        )
+        if static.sigma_encoder.use_bias:
+            h = h + params["sigma_encoder"]["b"][0]
+        sigma_feat = mlp.apply_tail(
+            params["sigma_encoder"], static.sigma_encoder, h,
+            compute_dtype=compute_dtype,
+        )
+        raw = mlp.apply(
+            params["sigma_decoder"], static.sigma_decoder, jax.nn.relu(sigma_feat),
+            compute_dtype=compute_dtype,
+        )
+        attn = jnp.abs(jax.nn.leaky_relu(raw, static.leaky_slope))
+        return sigma_feat, attn, psig_enc
+
     sigma_feat, attn = sigma_query(
         params, static, pts, tx=tx, ch_idx=ch_idx, compute_dtype=compute_dtype
     )
@@ -504,6 +534,17 @@ def point_features(
         else None
     )
     return sigma_feat, attn, psig_enc
+
+
+def _paired_pos(static: FieldStatic) -> bool:
+    """True when pos & pos_sig encodings can share one fused gather."""
+    a = static.encodings.get("pos")
+    b = static.encodings.get("pos_sig")
+    return (
+        a is not None and b is not None
+        and a.otype == "hashgrid" and b.otype == "hashgrid"
+        and a.grid == b.grid
+    )
 
 
 def signal_tail_from_features(

@@ -161,6 +161,46 @@ def encode(table: Array, static: HashGridStatic, x: Array) -> Array:
     return out.reshape(*x.shape[:-1], static.n_levels * static.n_features)
 
 
+def encode_pair(
+    table_a: Array, table_b: Array, static: HashGridStatic, x: Array
+) -> Tuple[Array, Array]:
+    """Encode through TWO same-geometry tables with ONE gather.
+
+    When two encodings share an identical HashGridStatic and identical
+    input points (e.g. the complex field's pos_encoding_sigma and
+    pos_encoding_sig, reference/model.py:258-259 with equal configs),
+    their corner indices coincide — concatenating the tables feature-wise
+    halves the gather rows forward and the scatter-add updates backward.
+    Returns (enc_a, enc_b), each [..., L·F].
+    """
+    fused = jnp.concatenate([table_a, table_b], axis=-1)  # [total, 2F]
+    Fh = static.n_features
+
+    x = jnp.clip(x, 0.0, 1.0)
+    res = jnp.asarray(static.resolutions, dtype=x.dtype)
+    scaled = x[..., None, :] * res[:, None]
+    pos0 = jnp.floor(scaled).astype(jnp.int32)
+    pos0 = jnp.minimum(pos0, jnp.asarray(static.resolutions, jnp.int32)[:, None] - 1)
+    pos0 = jnp.maximum(pos0, 0)
+    frac = scaled - pos0.astype(x.dtype)
+
+    idx = _corner_indices(static, pos0)  # [..., L, 8]
+    feats = fused[idx]  # [..., L, 8, 2F]
+
+    corner = jnp.asarray(
+        [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=x.dtype
+    )
+    t = frac[..., :, None, :]
+    w = jnp.prod(corner * t + (1.0 - corner) * (1.0 - t), axis=-1)
+
+    out = jnp.sum(feats * w[..., None], axis=-2)  # [..., L, 2F]
+    lead = x.shape[:-1]
+    return (
+        out[..., :Fh].reshape(*lead, static.n_levels * Fh),
+        out[..., Fh:].reshape(*lead, static.n_levels * Fh),
+    )
+
+
 # ----------------------------------------------------------------------
 # Frequency (NeRF positional) encoding — lightweight fallback for configs
 # that request otype: Frequency, and a hash-free baseline for tests.

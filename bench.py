@@ -59,14 +59,17 @@ def main() -> None:
         lambda p, i: jax.value_and_grad(loss_fn)(p, jax.random.fold_in(jax.random.PRNGKey(0), i))
     )
 
-    # warmup/compile
+    # warmup/compile. NOTE: on the axon remote backend block_until_ready
+    # does not actually block — a device→host scalar fetch is the only
+    # reliable completion barrier, and device execution is sequential, so
+    # fetching the last step's loss waits for every queued step.
     loss, grads = grad_fn(params, 0)
-    jax.block_until_ready((loss, grads))
+    float(loss)
 
     t0 = time.perf_counter()
     for i in range(steps):
         loss, grads = grad_fn(params, i + 1)
-    jax.block_until_ready((loss, grads))
+    float(loss)
     dt = time.perf_counter() - t0
 
     rays_per_s = bs * R * steps / dt
