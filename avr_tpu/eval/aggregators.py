@@ -1,0 +1,262 @@
+"""Offline aggregation and reporting over evaluation result trees.
+
+Re-designs the reference's family of white-noise / DoA post-processing
+scripts as library functions over the pipelines' pickle/npz outputs:
+
+  * frame_error_table / plot_frame_errors  — per-window DoA error grids
+    (reference/whitenoise_frame_errors.py, whitenoise_long_frame_scatter.py);
+  * circular_median_summary                — robust per-condition medians
+    (reference/whitenoise_result_tmp.py partial-summary CSV);
+  * compare_stft_conditions                — DoA accuracy across a
+    win×n_fft×hop grid directly on val npz dumps
+    (reference/doa_compare_stft_conditions.py:67-177);
+  * plot_band_response                     — |H(f)| inspection of IR
+    groups (reference/inspect_bandpass.py);
+  * study_report                           — trial-wise objective curve +
+    best-trial table for an HPO study
+    (reference/plot_min_DoA_optuna.py:200-276).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from avr_tpu.eval import doa as doa_lib
+from avr_tpu.eval import whitenoise as wn
+
+
+# ----------------------------------------------------------------------
+# White-noise condition pickles → frame-level tables and figures
+# ----------------------------------------------------------------------
+def frame_error_table(cond_pickle: str) -> "object":
+    """Per-group per-window angles/errors of one condition pickle
+    → tidy DataFrame (group, window, pred_deg, err_vs_mean_gt)."""
+    import pandas as pd
+
+    with open(cond_pickle, "rb") as f:
+        cond = pickle.load(f)
+    rows = []
+    for g, rec in enumerate(cond["per_group"]):
+        gt_mean = rec["gt"]["mean"]
+        for wi, ang in enumerate(rec["pred"]["windows"]):
+            rows.append(
+                {
+                    "group": g,
+                    "window": wi,
+                    "pred_deg": ang,
+                    "err_vs_gt_mean": wn.angular_error_deg(ang, gt_mean),
+                    "err_vs_true": wn.angular_error_deg(ang, rec["true_deg"]),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def plot_frame_errors(cond_pickles: Sequence[str], save_path: str) -> None:
+    """Grid of per-window error traces, one panel per condition."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(cond_pickles)
+    cols = min(3, max(n, 1))
+    rows_n = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows_n, cols, figsize=(5 * cols, 3.2 * rows_n),
+                             squeeze=False)
+    for i, pkl in enumerate(cond_pickles):
+        ax = axes[i // cols][i % cols]
+        df = frame_error_table(pkl)
+        for g, grp in df.groupby("group"):
+            ax.plot(grp["window"], grp["err_vs_gt_mean"], alpha=0.6, label=f"g{g}")
+        ax.set_title(os.path.basename(pkl)[:40], fontsize=8)
+        ax.set_xlabel("window")
+        ax.set_ylabel("err (deg)")
+        ax.grid(alpha=0.3)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    plt.savefig(save_path, dpi=130)
+    plt.close(fig)
+
+
+def plot_frame_scatter(cond_pickle: str, save_path: str) -> None:
+    """Window-angle scatter vs GT/true per group
+    (whitenoise_long_frame_scatter.py analog)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    df = frame_error_table(cond_pickle)
+    fig, ax = plt.subplots(figsize=(10, 5))
+    for g, grp in df.groupby("group"):
+        ax.scatter(grp["window"] + g * 0.1, grp["pred_deg"], s=10, alpha=0.6,
+                   label=f"group {g}")
+    ax.set_xlabel("window")
+    ax.set_ylabel("pred angle (deg)")
+    ax.set_ylim(0, 360)
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    plt.savefig(save_path, dpi=130)
+    plt.close(fig)
+
+
+def circular_median_summary(outdir: str) -> "object":
+    """Scan an outdir of results_*.pkl and produce a per-condition
+    circular-median summary CSV (robust variant of summary_ranked)."""
+    import pandas as pd
+
+    rows = []
+    for name in sorted(os.listdir(outdir)):
+        if not (name.startswith("results_") and name.endswith(".pkl")):
+            continue
+        with open(os.path.join(outdir, name), "rb") as f:
+            cond = pickle.load(f)
+        errs = [g["err_pred_vs_gt"] for g in cond["per_group"]]
+        pred_means = [g["pred"]["mean"] for g in cond["per_group"]]
+        mu, var, std = wn.circ_stats_deg(pred_means)
+        rows.append(
+            {
+                "tag": name[len("results_"):-len(".pkl")],
+                "median_err": float(np.median(errs)) if errs else float("nan"),
+                "mean_err": float(np.mean(errs)) if errs else float("nan"),
+                "circ_mean_pred": mu,
+                "circ_var_pred": var,
+                "n_groups": len(errs),
+            }
+        )
+    df = pd.DataFrame(rows).sort_values("median_err").reset_index(drop=True)
+    df.to_csv(os.path.join(outdir, "summary_circular_median.csv"), index=False)
+    return df
+
+
+# ----------------------------------------------------------------------
+# Direct STFT-condition sweep on val npz dumps
+# ----------------------------------------------------------------------
+def compare_stft_conditions(
+    npz_paths: Sequence[str],
+    fs: int = 16000,
+    n_ffts: Sequence[int] = (256, 512, 1024),
+    hops: Sequence[Optional[int]] = (None,),
+    wins: Sequence[str] = ("hann",),
+    algo: str = "NormMUSIC",
+    mic_radius: float = 0.0365,
+    save_csv: Optional[str] = None,
+) -> "object":
+    """Mean DoA error per (checkpoint, n_fft, hop, win) condition
+    (reference/doa_compare_stft_conditions.py:67-177)."""
+    import pandas as pd
+
+    rows = []
+    for npz_path in npz_paths:
+        data = np.load(npz_path)
+        for n_fft, hop, win in itertools.product(n_ffts, hops, wins):
+            hop_eff = hop or n_fft // 4
+            errs_gt, errs_true = [], []
+            for pred_g, ori_g, rx, tx in doa_lib.iter_groups(data):
+                center = rx[:, :2].mean(axis=0)
+                mic_xy = doa_lib.circular_2d_array(center, rx.shape[0], mic_radius)
+                true_deg = math.degrees(
+                    math.atan2(tx[1] - center[1], tx[0] - center[0])
+                ) % 360
+                pt = np.fft.irfft(pred_g, axis=-1).real
+                ot = np.fft.irfft(ori_g, axis=-1).real
+                if win == "hann":
+                    Xp = doa_lib.stft_frames(pt, n_fft, hop_eff)
+                    Xo = doa_lib.stft_frames(ot, n_fft, hop_eff)
+                else:
+                    Xp = wn.stft_condition(pt, n_fft, hop_eff, "none")
+                    Xo = wn.stft_condition(ot, n_fft, hop_eff, "none")
+                p = doa_lib.estimate_azimuth_deg(
+                    doa_lib.doa_spectrum(Xp, mic_xy, fs, n_fft, algo)
+                )
+                g = doa_lib.estimate_azimuth_deg(
+                    doa_lib.doa_spectrum(Xo, mic_xy, fs, n_fft, algo)
+                )
+                errs_gt.append(doa_lib.angular_error_deg(p, g))
+                errs_true.append(doa_lib.angular_error_deg(p, true_deg))
+            rows.append(
+                {
+                    "npz": os.path.basename(npz_path),
+                    "n_fft": n_fft, "hop": hop_eff, "win": win,
+                    "mean_pred_vs_gt": float(np.mean(errs_gt)),
+                    "mean_pred_vs_true": float(np.mean(errs_true)),
+                    "n_groups": len(errs_gt),
+                }
+            )
+    df = pd.DataFrame(rows).sort_values("mean_pred_vs_gt").reset_index(drop=True)
+    if save_csv:
+        os.makedirs(os.path.dirname(save_csv) or ".", exist_ok=True)
+        df.to_csv(save_csv, index=False)
+    return df
+
+
+def plot_band_response(
+    npz_path: str, save_path: str, group: int = 0, fs: int = 16000
+) -> None:
+    """|H(f)| of one group's predicted vs GT IRs
+    (reference/inspect_bandpass.py analog)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = np.load(npz_path)
+    groups = list(doa_lib.iter_groups(data))
+    pred_g, ori_g, _, _ = groups[group]
+    freqs = np.linspace(0, fs / 2, pred_g.shape[-1])
+    fig, ax = plt.subplots(figsize=(10, 5))
+    for m in range(pred_g.shape[0]):
+        ax.semilogy(freqs, np.abs(ori_g[m]) + 1e-12, "b", alpha=0.3)
+        ax.semilogy(freqs, np.abs(pred_g[m]) + 1e-12, "r", alpha=0.3)
+    ax.set_xlabel("frequency (Hz)")
+    ax.set_ylabel("|H(f)|")
+    ax.set_title(f"group {group}: gt (blue) vs pred (red)")
+    ax.grid(alpha=0.3)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    plt.savefig(save_path, dpi=130)
+    plt.close(fig)
+
+
+# ----------------------------------------------------------------------
+# HPO study reporting
+# ----------------------------------------------------------------------
+def study_report(study, save_path: Optional[str] = None) -> Dict:
+    """Objective-vs-trial curve + running best + best-trial params
+    (reference/plot_min_DoA_optuna.py:200-276)."""
+    trials = study.trials
+    values = [t["value"] for t in trials]
+    running_best = list(np.minimum.accumulate(values)) if values else []
+    report = {
+        "n_trials": len(trials),
+        "best_value": study.best_value if trials else float("nan"),
+        "best_params": study.best_params if trials else {},
+        "values": values,
+        "running_best": running_best,
+    }
+    if save_path and trials:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, 5))
+        ax.plot(values, "o", alpha=0.5, label="trial objective")
+        ax.plot(running_best, "-", label="running best")
+        ax.set_xlabel("trial")
+        ax.set_ylabel("DoA error (deg)")
+        ax.legend()
+        ax.grid(alpha=0.3)
+        plt.tight_layout()
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        plt.savefig(save_path, dpi=130)
+        plt.close(fig)
+    return report

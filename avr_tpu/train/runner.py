@@ -54,15 +54,22 @@ class AVRRunner:
         mesh_plan: Optional[MeshPlan] = None,
         train_data: Optional[Dataset] = None,
         test_data: Optional[Dataset] = None,
+        memory_check: bool = False,
     ):
         self.cfg = cfg
         self.batch_size = batch_size or cfg.train.batch_size
         self.mesh_plan = mesh_plan
+        self.memory_check = memory_check
         self.logdir = os.path.join(cfg.path.logdir, cfg.path.expname)
         os.makedirs(self.logdir, exist_ok=True)
         self.logger = configure_logger(self.logdir)
         self.writer = MetricsWriter(self.logdir)
         cfg.to_yaml(os.path.join(self.logdir, "avr_conf.yml"))  # config backup
+        # invocation audit (reference/avr_runner.py:441-446)
+        import sys
+
+        with open(os.path.join(self.logdir, "command_log.txt"), "a") as f:
+            f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} {' '.join(sys.argv)}\n")
 
         seq_len = cfg.model.signal_output_dim
         dt = cfg.path.dataset_type
@@ -170,6 +177,14 @@ class AVRRunner:
                     self.writer.scalar("samples_per_sec", rate, it)
                     self.writer.scalar("learning rate", self._current_lr(it), it)
                     t_last = time.time()
+                if self.memory_check and it % tc.log_freq == 0:
+                    # instrumented mode (reference/avr_runner_memory_check.py)
+                    from avr_tpu.utils import profiling
+
+                    profiling.log_memory(f"iter{it}", self.logger)
+                    profiling.memory_snapshot(
+                        os.path.join(self.logdir, f"memory_snapshot_{it:08d}.json")
+                    )
                 if it % tc.save_freq == 0 and it > 0:
                     self.logger.info("saved checkpoint at step %d", self.save_checkpoint())
                 if it % tc.val_freq == 0 and it > 0:
@@ -297,6 +312,8 @@ def main(argv=None) -> None:
     p.add_argument("--dataset_dir", required=True)
     p.add_argument("--batchsize", type=int, default=None)
     p.add_argument("--data_parallel", type=int, default=None)
+    p.add_argument("--memory_check", action="store_true",
+                   help="log device memory + snapshots every log_freq iters")
     args = p.parse_args(argv)
 
     cfg = AVRConfig.from_yaml(args.config)
@@ -308,7 +325,8 @@ def main(argv=None) -> None:
             batch_size=args.batchsize or cfg.train.batch_size,
             data_parallel=args.data_parallel,
         )
-    runner = AVRRunner(cfg, args.dataset_dir, batch_size=args.batchsize, mesh_plan=mesh)
+    runner = AVRRunner(cfg, args.dataset_dir, batch_size=args.batchsize,
+                       mesh_plan=mesh, memory_check=args.memory_check)
     if args.mode == "train":
         runner.train()
     else:
