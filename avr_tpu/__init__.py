@@ -24,4 +24,21 @@ Design principles (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the flagship render step takes minutes to
+# compile on the remote TPU backend; cache compiled executables across
+# processes (bench, trainers, eval scripts, tests). Opt out with
+# AVR_TPU_NO_COMPILE_CACHE=1 or override via JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("AVR_TPU_NO_COMPILE_CACHE"):
+    if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        _cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "avr_tpu_jax_cache"
+        )
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from avr_tpu.config import AVRConfig, RenderConfig, TrainConfig  # noqa: F401

@@ -9,6 +9,9 @@ Commands mirror the reference's per-script entry points:
   whitenoise — whitenoise_long_doa.py / whitenoise_bandpass_doa.py
   make-configs — make_config_for_control_exp.py
   synth      — (new) synthetic shoebox dataset generation
+  plot       — plot_loss.py / plot_DoA*.py / whitenoise_frame_* /
+               doa_compare_stft_conditions.py / inspect_bandpass.py
+  tools      — tools/meshrir_split.py, check_data.py
 """
 
 from __future__ import annotations
@@ -135,9 +138,82 @@ def main(argv=None) -> None:
         else:
             writer(a.out, room, n=a.n, seed=a.seed)
         print(f"wrote {a.format} dataset ({a.n}) to {a.out}")
+    elif cmd == "plot":
+        _plot_cli(rest)
+    elif cmd == "tools":
+        _tools_cli(rest)
     else:
         print(f"unknown command {cmd!r}; run with --help")
         sys.exit(2)
+
+
+def _plot_cli(rest) -> None:
+    """Reporting subcommands over training logs / eval pickles."""
+    import argparse
+    import json
+    import pickle
+
+    p = argparse.ArgumentParser(prog="avr_tpu plot")
+    p.add_argument("kind", choices=[
+        "loss", "doa-scatter", "frame-errors", "frame-scatter",
+        "stft-compare", "band-response", "median-summary",
+    ])
+    p.add_argument("inputs", nargs="+",
+                   help="metrics.jsonl / doa pickle / condition pickles / "
+                        "val npz / results dir (per kind)")
+    p.add_argument("--save", required=True)
+    p.add_argument("--prefixes", nargs="*", default=["train_loss"])
+    p.add_argument("--fs", type=int, default=16000)
+    a = p.parse_args(rest)
+
+    from avr_tpu.eval import aggregators
+    from avr_tpu.utils import plotting
+
+    if a.kind == "loss":
+        plotting.plot_loss_curves(a.inputs[0], a.save, a.prefixes)
+    elif a.kind == "doa-scatter":
+        with open(a.inputs[0], "rb") as f:
+            plotting.plot_doa_scatter(pickle.load(f), a.save)
+    elif a.kind == "frame-errors":
+        aggregators.plot_frame_errors(a.inputs, a.save)
+    elif a.kind == "frame-scatter":
+        aggregators.plot_frame_scatter(a.inputs[0], a.save)
+    elif a.kind == "stft-compare":
+        df = aggregators.compare_stft_conditions(a.inputs, fs=a.fs,
+                                                 save_path=a.save)
+        print(df.to_string())
+    elif a.kind == "band-response":
+        aggregators.plot_band_response(a.inputs[0], a.save, fs=a.fs)
+    elif a.kind == "median-summary":
+        df = aggregators.circular_median_summary(a.inputs[0])
+        df.to_csv(a.save, index=False)
+        print(json.dumps({"rows": len(df), "csv": a.save}))
+    print(f"wrote {a.save}")
+
+
+def _tools_cli(rest) -> None:
+    """Dataset utilities (reference/tools/meshrir_split.py, check_data.py)."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(prog="avr_tpu tools")
+    p.add_argument("kind", choices=["meshrir-split", "inspect"])
+    p.add_argument("path")
+    p.add_argument("--test_ratio", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(rest)
+
+    from avr_tpu.data import tools
+
+    if a.kind == "meshrir-split":
+        train, test = tools.meshrir_split(
+            a.path, test_frac=a.test_ratio, seed=a.seed
+        )
+        print(json.dumps({"train": len(train), "test": len(test)}))
+    else:
+        info = (tools.inspect_npz(a.path) if a.path.endswith(".npz")
+                else tools.inspect_npy(a.path))
+        print(json.dumps(info, indent=2, default=str))
 
 
 if __name__ == "__main__":

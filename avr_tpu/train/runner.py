@@ -189,6 +189,8 @@ class AVRRunner:
                     self.logger.info("saved checkpoint at step %d", self.save_checkpoint())
                 if it % tc.val_freq == 0 and it > 0:
                     self.validate(it)
+                    # capped train-set eval (reference/avr_runner.py:322-370)
+                    self.validate(it, mode_set="train")
                 if it >= tc.total_iterations:
                     break
         self.save_checkpoint()
@@ -297,7 +299,29 @@ class AVRRunner:
             np.savez_compressed(
                 os.path.join(npz_dir, f"val_iter{iteration:06d}.npz"), **payload
             )
+            self._dump_validation_figures(iteration, pred, ori, np.asarray(ori_t),
+                                          np.asarray(pred_t), data)
         return metrics
+
+    def _dump_validation_figures(self, iteration, pred, ori, ori_t, pred_t, data,
+                                 max_figs: int = 15) -> None:
+        """Per-sample prediction figures, ≤15 per validation
+        (reference/avr_runner.py:271-276 → utils/logger.py:89-124)."""
+        from avr_tpu.utils import plotting
+
+        fig_dir = os.path.join(self.logdir, "figures", f"iter{iteration:06d}")
+        os.makedirs(fig_dir, exist_ok=True)
+        for i in range(min(max_figs, len(pred), len(pred_t))):
+            try:
+                plotting.plot_prediction_figure(
+                    pred[i], ori[i], pred_t[i], ori_t[i],
+                    data.pos_rx[i], data.pos_tx[i],
+                    mode_set="test",
+                    save_path=os.path.join(fig_dir, f"sample{i:03d}.png"),
+                )
+            except Exception as e:  # plotting must never kill training
+                self.logger.warning("figure dump failed: %s", e)
+                break
 
 
 # ----------------------------------------------------------------------
@@ -316,7 +340,12 @@ def main(argv=None) -> None:
                    help="log device memory + snapshots every log_freq iters")
     args = p.parse_args(argv)
 
-    cfg = AVRConfig.from_yaml(args.config)
+    # test mode accepts a logdir: read its backed-up avr_conf.yml
+    # (reference/avr_runner.py:430-432)
+    config = args.config
+    if os.path.isdir(config):
+        config = os.path.join(config, "avr_conf.yml")
+    cfg = AVRConfig.from_yaml(config)
     mesh = None
     if len(jax.devices()) > 1:
         from avr_tpu.parallel.mesh import make_mesh_plan

@@ -25,8 +25,11 @@ from avr_tpu.models import field as field_lib
 from avr_tpu.render.common import make_consts
 from avr_tpu.render.fused import render_fused
 
-# First recorded single-chip fwd+bwd measurement (TPU v5e, round 1).
-BASELINE_RAYS_S = 100_000.0
+# First recorded single-chip fwd+bwd measurement of this workload
+# (TPU v5e, round 1, 2026-08-17): 2687 rays/s. vs_baseline tracks
+# speedup over this repo's own first end-to-end measurement — the
+# reference publishes no numbers to compare against (BASELINE.md).
+BASELINE_RAYS_S = 2687.0
 
 
 def main() -> None:

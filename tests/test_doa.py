@@ -46,11 +46,13 @@ def test_tops_recovers_plane_wave():
     assert doa.angular_error_deg(est, 200.0) <= 15  # TOPS is noisier
 
 
-def test_frida_unimplemented():
-    sig, mic_xy = make_group_signals(10.0)
+@pytest.mark.parametrize("angle", [10.0, 147.0, 265.0])
+def test_frida_recovers_plane_wave(angle):
+    sig, mic_xy = make_group_signals(angle, snr_noise=0.01)
     X = doa.stft_frames(np.fft.irfft(sig, axis=-1).real, 512)
-    with pytest.raises(NotImplementedError):
-        doa.doa_spectrum(X, mic_xy, 16000, 512, "FRIDA")
+    sp = doa.doa_spectrum(X, mic_xy, 16000, 512, "FRIDA")
+    est = doa.estimate_azimuth_deg(sp)
+    assert doa.angular_error_deg(est, angle) <= 6, f"FRIDA: {est} vs {angle}"
 
 
 def _fake_npz(tmp_path, angles, fs=16000):
@@ -95,8 +97,10 @@ def test_run_doa_on_npz_schema_and_accuracy(tmp_path):
     assert np.mean(r["gt_vs_true_error"]) < 10
     # pred is a phase-rotated copy → matches gt closely
     assert np.mean(r["pred_vs_gt_error"]) < 5
-    # FRIDA unimplemented → recorded as None (reference try/except contract)
-    assert all(v is None for v in res["FRIDA"]["pred_deg"])
+    # FRIDA (grid-free FRI) also locates the sources
+    fr = res["FRIDA"]
+    assert all(v is not None for v in fr["pred_deg"])
+    assert np.mean(fr["gt_vs_true_error"]) < 10
     import pickle
 
     with open(save, "rb") as f:
