@@ -9,9 +9,11 @@ not a CUDA translation:
     table (per-level offsets are static), so XLA emits a single fused
     gather + trilinear-interpolation kernel;
   * the backward pass is the natural transpose — a scatter-add into the
-    flat table — which XLA lowers to a TPU-friendly sorted scatter; a
-    Pallas segmented-accumulation kernel can be slotted in behind the same
-    interface for the hot path (see avr_tpu/render/pallas_kernels.py);
+    flat table. XLA's TPU scatter emitter is row-serial and dominated the
+    whole training step, so the gather runs through
+    ``avr_tpu.ops.hash_scatter.gather_rows``, whose backward sorts the
+    (index, update) stream and accumulates it with one-hot matmuls in a
+    Pallas tile kernel (MXU, no atomics); small gathers keep XLA;
   * fine levels whose dense grid exceeds the table use the instant-ngp
     spatial hash (x·p₁ ⊕ y·p₂ ⊕ z·p₃ mod T); coarse levels index densely.
 
@@ -30,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from avr_tpu.config import EncodingConfig
+from avr_tpu.ops import hash_scatter
 
 Array = jax.Array
 
@@ -148,7 +151,8 @@ def encode(table: Array, static: HashGridStatic, x: Array) -> Array:
     frac = scaled - pos0.astype(x.dtype)  # [..., L, 3]
 
     idx = _corner_indices(static, pos0)  # [..., L, 8]
-    feats = table[idx]  # [..., L, 8, F]
+    # gather with TPU-native scatter-add backward (avr_tpu/ops/hash_scatter)
+    feats = hash_scatter.gather_rows(table, idx)  # [..., L, 8, F]
 
     # Trilinear weights: ∏_d (corner_d ? t_d : 1−t_d).
     corner = jnp.asarray(
@@ -185,7 +189,7 @@ def encode_pair(
     frac = scaled - pos0.astype(x.dtype)
 
     idx = _corner_indices(static, pos0)  # [..., L, 8]
-    feats = fused[idx]  # [..., L, 8, 2F]
+    feats = hash_scatter.gather_rows(fused, idx)  # [..., L, 8, 2F]
 
     corner = jnp.asarray(
         [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=x.dtype

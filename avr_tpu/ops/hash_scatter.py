@@ -1,0 +1,262 @@
+"""TPU scatter-add for hash-grid table gradients (Pallas).
+
+The backward pass of a multiresolution hash encoding is a scatter-add of
+``M = points x levels x 8`` weighted gradient rows into the feature table
+— the reference does this inside tinycudann's CUDA kernels with atomics
+(reference/model.py:66-68); XLA's TPU scatter emitter processes colliding
+rows serially and dominates the whole training step (~85% measured on the
+RAF-Furnished workload).
+
+TPU-native design (no atomics on TPU):
+
+  1. sort the ``M`` (index, update-row) pairs by flat table index
+     (``jax.lax.sort``, one fused multi-operand sort);
+  2. bucket the sorted stream into table *tiles* of ``TS`` rows; the
+     per-tile segment boundaries come from one vectorized
+     ``searchsorted`` over the tile edges;
+  3. a Pallas kernel, gridded over table tiles, DMAs each tile's
+     contiguous slice of sorted updates from HBM and accumulates it with
+     one-hot matmuls on the MXU: ``acc[TS,F] += onehot[UC,TS]^T @
+     upd[UC,F]``. The one-hot is exact (0/1 in bf16), so splitting each
+     fp32 update into bf16 hi+lo passes reconstructs fp32-accurate sums
+     with pure bf16 MXU throughput.
+
+Because chunk DMA offsets are 128-lane aligned, tile segments are widened
+to block boundaries; rows spilling in from neighbouring tiles fall outside
+the tile's local index range, so their one-hot column is all-zero and they
+contribute nothing — no masking pass is needed. Updates are exact-summed;
+only the summation ORDER differs from XLA's scatter, so results match to
+fp32 accumulation tolerance (bf16x2 splitting: ~1e-6 relative; "f32"
+precision mode: exact fp32 MXU passes).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_LANE = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def on_tpu() -> bool:
+    """True when the default backend executes on TPU hardware.
+
+    The axon remote tunnel registers an experimental 'axon' platform that
+    proxies a real TPU chip; treat it as TPU.
+    """
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def scatter_add_rows(
+    idx: Array,
+    upd: Array,
+    n_rows: int,
+    *,
+    impl: Optional[str] = None,
+    tile_rows: int = 256,
+    chunk: int = 1024,
+    precision: str = "bf16x2",
+    interpret: bool = False,
+) -> Array:
+    """Sum update rows into bins: out[r] = sum_{i: idx[i]==r} upd[i].
+
+    idx: int32 [M] in [0, n_rows). upd: float32 [M, F]. Returns
+    [n_rows, F] float32.
+
+    impl: "xla" (scatter-add, the CPU/GPU default), "sorted" (sort +
+    Pallas tile kernel, the TPU default), or None → auto. The
+    AVR_TPU_SCATTER env var overrides auto selection.
+    """
+    if impl is None:
+        impl = os.environ.get("AVR_TPU_SCATTER") or (
+            "sorted" if (on_tpu() or interpret) else "xla"
+        )
+    if impl == "xla":
+        return jnp.zeros((n_rows, upd.shape[-1]), upd.dtype).at[idx].add(upd)
+    return _sorted_scatter(
+        idx, upd, n_rows,
+        tile_rows=tile_rows, chunk=chunk, precision=precision,
+        interpret=interpret,
+    )
+
+
+def _sorted_scatter(
+    idx: Array,
+    upd: Array,
+    n_rows: int,
+    *,
+    tile_rows: int,
+    chunk: int,
+    precision: str,
+    interpret: bool,
+) -> Array:
+    M, F = upd.shape
+    TS = tile_rows
+    UC = chunk
+    assert UC % _LANE == 0
+    CB = UC // _LANE
+    n_tiles = _cdiv(n_rows, TS)
+    E_pad = n_tiles * TS
+
+    # ---- 1. sort (index, update-row) pairs by index -------------------
+    ops = (idx,) + tuple(upd[:, j] for j in range(F))
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    idx_s = sorted_ops[0]
+
+    # ---- 2. tile segment boundaries ----------------------------------
+    edges = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TS
+    starts = jnp.searchsorted(idx_s, edges, side="left").astype(jnp.int32)
+    b0 = starts[:-1] // _LANE  # first 128-col block of each tile
+    b1 = -(-starts[1:] // _LANE)  # one past last block (ceil)
+    blocks = jnp.stack([b0, b1], axis=0)  # [2, n_tiles] int32
+
+    # ---- 3. pack sorted stream as [8, Mp] rows -----------------------
+    # Row 0: indices as float32 VALUES (exact for idx < 2^24; a bitcast
+    # would make small ints denormal floats, which the load path flushes
+    # to zero); rows 1..F: update features; rest zero padding. Fields
+    # live in the (padded) sublane dim so chunk DMAs slice only the
+    # 128-aligned lane dim.
+    assert E_pad < (1 << 24), "float32-exact index packing limit"
+    Mp = (_cdiv(M, UC) + 1) * UC
+    pad = Mp - M
+    idx_f = jnp.concatenate(
+        [idx_s, jnp.full((pad,), E_pad, jnp.int32)]
+    ).astype(jnp.float32)
+    rows = [idx_f] + [
+        jnp.concatenate([sorted_ops[1 + j], jnp.zeros((pad,), upd.dtype)])
+        for j in range(F)
+    ]
+    data = jnp.concatenate(
+        [jnp.stack(rows), jnp.zeros((8 - 1 - F, Mp), upd.dtype)]
+    )  # [8, Mp]
+
+    kernel = functools.partial(
+        _tile_kernel, TS=TS, UC=UC, CB=CB, F=F, precision=precision
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (TS, F), lambda t: (t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((E_pad, F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, UC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(blocks, data)
+    return out[:n_rows]
+
+
+def _tile_kernel(blocks_ref, data_hbm, out_ref, scratch, sems, *, TS, UC, CB, F, precision):
+    t = pl.program_id(0)
+    b0 = blocks_ref[0, t]
+    b1 = blocks_ref[1, t]
+    nchunks = pl.cdiv(b1 - b0, CB)
+
+    def chunk_dma(k, slot):
+        col0 = (b0 + k * CB) * _LANE
+        return pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(col0, UC)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    def body(k, acc):
+        slot = 0
+        dma = chunk_dma(k, slot)
+        dma.start()
+        dma.wait()
+        rows = scratch[slot]  # [8, UC] f32
+        # row 0 carries integer-valued f32 indices (exact below 2^24)
+        local = rows[0:1, :].astype(jnp.int32) - t * TS  # [1, UC]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TS, UC), 0)
+        onehot = (lanes == local).astype(jnp.bfloat16)  # [TS, UC]
+        u = rows[1 : 1 + F, :]  # [F, UC]
+        contract = (((1,), (1,)), ((), ()))
+        if precision == "f32":
+            acc = acc + jax.lax.dot_general(
+                onehot.astype(jnp.float32), u,
+                dimension_numbers=contract,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            hi = u.astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                onehot, hi,
+                dimension_numbers=contract,
+                preferred_element_type=jnp.float32,
+            )
+            lo = (u - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                onehot, lo,
+                dimension_numbers=contract,
+                preferred_element_type=jnp.float32,
+            )
+            if precision == "bf16x3":
+                rem = u - hi.astype(jnp.float32) - lo.astype(jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    onehot, rem.astype(jnp.bfloat16),
+                    dimension_numbers=contract,
+                    preferred_element_type=jnp.float32,
+                )
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((TS, F), jnp.float32)
+    )
+    out_ref[:] = acc
+
+
+# ----------------------------------------------------------------------
+# Differentiable row gather whose backward uses the sorted scatter.
+# ----------------------------------------------------------------------
+@jax.custom_vjp
+def gather_rows(table: Array, idx: Array) -> Array:
+    """table[idx] with a TPU-native scatter-add backward.
+
+    table: [E, F]; idx: int32 [...]; returns [..., F]. Forward is XLA's
+    gather; backward routes the [..., F] cotangent through
+    scatter_add_rows instead of XLA's serial scatter emitter.
+    """
+    return table[idx]
+
+
+def _gather_fwd(table, idx):
+    return table[idx], (idx, table.shape)
+
+
+# Below this many update rows the XLA scatter is cheap enough that the
+# sort + kernel launch doesn't pay (dir/tx encodings see only R or batch
+# points per step; the pos encodings see rays x samples x levels x 8).
+_SORTED_MIN_ROWS = 1 << 18
+
+
+def _gather_bwd(res, g):
+    idx, (E, F) = res
+    flat = idx.reshape(-1)
+    impl = "xla" if flat.shape[0] < _SORTED_MIN_ROWS else None
+    d = scatter_add_rows(
+        flat, g.reshape(-1, F).astype(jnp.float32), E, impl=impl
+    ).astype(g.dtype)
+    return d, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+gather_rows.defvjp(_gather_fwd, _gather_bwd)

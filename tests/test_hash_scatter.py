@@ -1,0 +1,117 @@
+"""Tests for avr_tpu.ops.hash_scatter (TPU-native table-gradient path).
+
+The Pallas sorted kernel itself needs TPU hardware (interpret-mode DMA
+emulation is not usable here); on CPU these tests pin the XLA fallback,
+the custom-VJP contract of gather_rows, and that the hash-grid encode
+gradients are unchanged by the rewiring. The sorted kernel is validated
+on-device by scripts/diag_scatter.py and the bench.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avr_tpu.models import hashgrid
+from avr_tpu.config import EncodingConfig
+from avr_tpu.ops import hash_scatter
+
+
+def test_scatter_add_rows_xla_matches_numpy():
+    rng = np.random.default_rng(0)
+    M, E, F = 4096, 333, 4
+    idx = rng.integers(0, E, M).astype(np.int32)
+    upd = rng.normal(size=(M, F)).astype(np.float32)
+    out = hash_scatter.scatter_add_rows(
+        jnp.asarray(idx), jnp.asarray(upd), E, impl="xla"
+    )
+    ref = np.zeros((E, F), np.float32)
+    np.add.at(ref, idx, upd)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_rows_forward_and_vjp():
+    rng = np.random.default_rng(1)
+    E, F = 97, 2
+    table = jnp.asarray(rng.normal(size=(E, F)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, E, (7, 5, 8)), jnp.int32)
+
+    out = hash_scatter.gather_rows(table, idx)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(table)[np.asarray(idx)])
+
+    g = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    _, vjp = jax.vjp(lambda t: hash_scatter.gather_rows(t, idx), table)
+    (dt,) = vjp(g)
+    ref = np.zeros((E, F), np.float32)
+    np.add.at(ref, np.asarray(idx).reshape(-1), np.asarray(g).reshape(-1, F))
+    np.testing.assert_allclose(np.asarray(dt), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_encode_grads_match_direct_indexing():
+    """hashgrid.encode with gather_rows == plain table[idx] autodiff."""
+    cfg = EncodingConfig(
+        n_levels=4, n_features_per_level=2, log2_hashmap_size=8,
+        base_resolution=4, per_level_scale=1.6,
+    )
+    st = hashgrid.build_static(cfg)
+    key = jax.random.PRNGKey(0)
+    table = hashgrid.init(key, st)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+
+    def loss_now(t):
+        return jnp.sum(jnp.sin(hashgrid.encode(t, st, x)))
+
+    def loss_plain(t):
+        # re-derive with direct indexing (pre-rewire semantics)
+        x1 = jnp.clip(x, 0.0, 1.0)
+        res = jnp.asarray(st.resolutions, x.dtype)
+        scaled = x1[..., None, :] * res[:, None]
+        pos0 = jnp.floor(scaled).astype(jnp.int32)
+        pos0 = jnp.clip(pos0, 0, jnp.asarray(st.resolutions, jnp.int32)[:, None] - 1)
+        frac = scaled - pos0.astype(x.dtype)
+        idx = hashgrid._corner_indices(st, pos0)
+        feats = t[idx]
+        corner = jnp.asarray(
+            [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=x.dtype
+        )
+        tt = frac[..., :, None, :]
+        w = jnp.prod(corner * tt + (1.0 - corner) * (1.0 - tt), axis=-1)
+        out = jnp.sum(feats * w[..., None], axis=-2)
+        return jnp.sum(jnp.sin(out.reshape(x.shape[0], -1)))
+
+    v1, g1 = jax.value_and_grad(loss_now)(table)
+    v2, g2 = jax.value_and_grad(loss_plain)(table)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-7)
+
+
+def test_encode_pair_still_matches_two_encodes():
+    cfg = EncodingConfig(
+        n_levels=3, n_features_per_level=2, log2_hashmap_size=7,
+        base_resolution=4, per_level_scale=2.0,
+    )
+    st = hashgrid.build_static(cfg)
+    ta = hashgrid.init(jax.random.PRNGKey(0), st)
+    tb = hashgrid.init(jax.random.PRNGKey(1), st)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (33, 3))
+    ea, eb = hashgrid.encode_pair(ta, tb, st, x)
+    np.testing.assert_allclose(
+        np.asarray(ea), np.asarray(hashgrid.encode(ta, st, x)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(eb), np.asarray(hashgrid.encode(tb, st, x)), rtol=1e-6
+    )
+
+
+@pytest.mark.skipif(not hash_scatter.on_tpu(), reason="needs TPU hardware")
+def test_sorted_scatter_on_tpu():
+    rng = np.random.default_rng(0)
+    M, E, F = 50_000, 7_000, 4
+    idx = rng.integers(0, E, M).astype(np.int32)
+    upd = rng.normal(size=(M, F)).astype(np.float32)
+    out = hash_scatter.scatter_add_rows(
+        jnp.asarray(idx), jnp.asarray(upd), E, impl="sorted"
+    )
+    ref = np.zeros((E, F), np.float32)
+    np.add.at(ref, idx, upd)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
