@@ -152,7 +152,7 @@ def encode(table: Array, static: HashGridStatic, x: Array) -> Array:
 
     idx = _corner_indices(static, pos0)  # [..., L, 8]
     # gather with TPU-native scatter-add backward (avr_tpu/ops/hash_scatter)
-    feats = hash_scatter.gather_rows(table, idx)  # [..., L, 8, F]
+    feats = hash_scatter.gather_rows_leveled(table, idx)  # [..., L, 8, F]
 
     # Trilinear weights: ∏_d (corner_d ? t_d : 1−t_d).
     corner = jnp.asarray(
@@ -189,7 +189,7 @@ def encode_pair(
     frac = scaled - pos0.astype(x.dtype)
 
     idx = _corner_indices(static, pos0)  # [..., L, 8]
-    feats = hash_scatter.gather_rows(fused, idx)  # [..., L, 8, 2F]
+    feats = hash_scatter.gather_rows_leveled(fused, idx)  # [..., L, 8, 2F]
 
     corner = jnp.asarray(
         [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=x.dtype

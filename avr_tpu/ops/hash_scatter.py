@@ -38,6 +38,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -84,7 +85,11 @@ def scatter_add_rows(
             "sorted" if (on_tpu() or interpret) else "xla"
         )
     if impl == "xla":
-        return jnp.zeros((n_rows, upd.shape[-1]), upd.dtype).at[idx].add(upd)
+        return (
+            jnp.zeros((n_rows, upd.shape[-1]), upd.dtype)
+            .at[idx.reshape(-1)]
+            .add(upd.reshape(-1, upd.shape[-1]))
+        )
     return _sorted_scatter(
         idx, upd, n_rows,
         tile_rows=tile_rows, chunk=chunk, precision=precision,
@@ -102,7 +107,8 @@ def _sorted_scatter(
     precision: str,
     interpret: bool,
 ) -> Array:
-    M, F = upd.shape
+    F = upd.shape[-1]
+    M = int(np.prod(idx.shape))
     TS = tile_rows
     UC = chunk
     assert UC % _LANE == 0
@@ -111,8 +117,17 @@ def _sorted_scatter(
     E_pad = n_tiles * TS
 
     # ---- 1. sort (index, update-row) pairs by index -------------------
-    ops = (idx,) + tuple(upd[:, j] for j in range(F))
-    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    # 2-D idx [G, K] means "group-structured": every index in group g is
+    # < every index in group g+1 (hash-grid levels occupy disjoint
+    # ascending table segments), so G independent row-sorts — much
+    # cheaper than one flat M-element sort and batched on-device —
+    # followed by concatenation yield a globally sorted stream.
+    if idx.ndim == 2:
+        ops = (idx,) + tuple(upd[..., j] for j in range(F))
+        sorted_ops = [o.reshape(-1) for o in jax.lax.sort(ops, dimension=1, num_keys=1)]
+    else:
+        ops = (idx,) + tuple(upd[:, j] for j in range(F))
+        sorted_ops = jax.lax.sort(ops, num_keys=1)
     idx_s = sorted_ops[0]
 
     # ---- 2. tile segment boundaries ----------------------------------
@@ -260,3 +275,42 @@ def _gather_bwd(res, g):
 
 
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
+@jax.custom_vjp
+def gather_rows_leveled(table: Array, idx: Array) -> Array:
+    """table[idx] for hash-grid corner indices idx [..., L, 8].
+
+    Same contract as gather_rows, but the backward exploits that level
+    l's indices live in a disjoint ascending table segment: the update
+    stream is regrouped as [L, N*8] and sorted with L independent
+    batched row-sorts instead of one flat (N*L*8)-element sort —
+    substantially cheaper (sort cost is the dominant term of the
+    sorted-scatter path).
+    """
+    return table[idx]
+
+
+def _gather_lvl_fwd(table, idx):
+    return table[idx], (idx, table.shape)
+
+
+def _gather_lvl_bwd(res, g):
+    idx, (E, F) = res
+    L, C = idx.shape[-2], idx.shape[-1]
+    n = int(np.prod(idx.shape)) // (L * C)
+    if n * C < _SORTED_MIN_ROWS // L:
+        d = scatter_add_rows(
+            idx.reshape(-1), g.reshape(-1, F).astype(jnp.float32), E, impl="xla"
+        ).astype(g.dtype)
+    else:
+        # [..., L, C] → [L, N·C]: group rows by level
+        idx2 = jnp.moveaxis(idx.reshape(n, L, C), 1, 0).reshape(L, n * C)
+        g2 = jnp.moveaxis(
+            g.reshape(n, L, C, F).astype(jnp.float32), 1, 0
+        ).reshape(L, n * C, F)
+        d = scatter_add_rows(idx2, g2, E).astype(g.dtype)
+    return d, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+gather_rows_leveled.defvjp(_gather_lvl_fwd, _gather_lvl_bwd)

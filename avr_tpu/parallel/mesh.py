@@ -55,7 +55,47 @@ class MeshPlan:
 
     def shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         s = self.batch_sharding()
+        if jax.process_count() > 1:
+            # multi-host: every process holds the SAME global batch (the
+            # sampler is seed-synchronized); build global arrays from the
+            # process-local rows of the 'data'-sharded axis.
+            return {
+                k: jax.make_array_from_process_local_data(s, v)
+                for k, v in batch.items()
+            }
         return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-host run (the NCCL `init_process_group` analog,
+    reference/avr_runner_ddp.py:37-46 — but one line, no rank plumbing).
+
+    On TPU pod slices `jax.distributed.initialize()` auto-discovers the
+    coordinator from the TPU metadata; elsewhere pass the coordinator
+    address plus COUNT/RANK (or set JAX_COORDINATOR_ADDRESS etc.).
+    Returns this host's process index. Safe to call when single-host
+    (no-op).
+    """
+    import os
+
+    if num_processes in (None, 1) and not (
+        coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    ):
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return 0  # single-host / unmanaged environment
+        return jax.process_index()
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
 
 
 def make_mesh_plan(

@@ -60,6 +60,10 @@ class AVRRunner:
         self.batch_size = batch_size or cfg.train.batch_size
         self.mesh_plan = mesh_plan
         self.memory_check = memory_check
+        # multi-host: host 0 owns logging/figures/npz dumps
+        # (reference rank-0-only checkpointing, avr_runner_ddp.py:190-197;
+        # orbax itself coordinates saves across all processes)
+        self.is_main = jax.process_index() == 0
         self.logdir = os.path.join(cfg.path.logdir, cfg.path.expname)
         os.makedirs(self.logdir, exist_ok=True)
         self.logger = configure_logger(self.logdir)
@@ -165,7 +169,7 @@ class AVRRunner:
                 )
                 it = int(self.state.step)
 
-                if it % tc.log_freq == 0:
+                if it % tc.log_freq == 0 and self.is_main:
                     b = jax.device_get(bundle)
                     total = float(np.sum([np.asarray(v) for v in b[:8]]))
                     self.writer.scalar("train_loss", total, it)
@@ -235,7 +239,12 @@ class AVRRunner:
                     for k, v in batch.items()
                 }
             db = self._device_batch(batch)
-            out = jax.device_get(self._eval_render(self.state.params, db, dirs))
+            out = self._eval_render(self.state.params, db, dirs)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                out = multihost_utils.process_allgather(out, tiled=True)
+            out = jax.device_get(out)
             pred = (out[..., 0] + 1j * out[..., 1]).astype(np.complex64)[:n_real]
             wave = batch["wave"][:n_real]
             preds.append(pred)
@@ -286,7 +295,7 @@ class AVRRunner:
             " ".join(f"{k}:{v:.4f}" for k, v in metrics.items()),
         )
 
-        if mode_set == "test":
+        if mode_set == "test" and self.is_main:
             npz_dir = os.path.join(self.logdir, "val_result")
             os.makedirs(npz_dir, exist_ok=True)
             payload = dict(
@@ -338,7 +347,16 @@ def main(argv=None) -> None:
     p.add_argument("--data_parallel", type=int, default=None)
     p.add_argument("--memory_check", action="store_true",
                    help="log device memory + snapshots every log_freq iters")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host run via jax.distributed.initialize "
+                        "(TPU pods auto-discover; else set JAX_COORDINATOR_ADDRESS "
+                        "/ JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        from avr_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()
 
     # test mode accepts a logdir: read its backed-up avr_conf.yml
     # (reference/avr_runner.py:430-432)

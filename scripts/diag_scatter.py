@@ -60,5 +60,32 @@ def main():
     print("  bad rows:", bad[:16], "... total", len(bad), flush=True)
 
 
+
+
+def grouped():
+    """Correctness of the 2-D (grouped) sorted path at hash-level scale."""
+    rng = np.random.default_rng(0)
+    G, K, F = 20, 66_560, 4  # ~1.3M updates, 20 disjoint segments
+    sizes = np.full(G, 250_000)
+    offsets = np.cumsum(np.concatenate([[0], sizes[:-1]])).astype(np.int64)
+    E = int(offsets[-1] + sizes[-1])
+    idx = (offsets[:, None] + rng.integers(0, sizes[0], (G, K))).astype(np.int32)
+    upd = rng.normal(size=(G, K, F)).astype(np.float32)
+    t0 = time.time()
+    out = np.asarray(
+        hash_scatter.scatter_add_rows(
+            jnp.asarray(idx), jnp.asarray(upd), E, impl="sorted"
+        )
+    )
+    ref = np.zeros((E, F), np.float32)
+    np.add.at(ref, idx.reshape(-1), upd.reshape(-1, F))
+    denom = max(np.abs(ref).max(), 1e-9)
+    err = np.abs(out - ref).max() / denom
+    print(f"grouped: rel err {err:.2e}  ({time.time() - t0:.0f}s)", flush=True)
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "grouped":
+        grouped()
+        raise SystemExit
     main()

@@ -46,6 +46,20 @@ def test_tops_recovers_plane_wave():
     assert doa.angular_error_deg(est, 200.0) <= 15  # TOPS is noisier
 
 
+def test_frida_two_sources():
+    sig1, mic_xy = make_group_signals(60.0, seed=1, snr_noise=0.005)
+    sig2, _ = make_group_signals(210.0, seed=2, snr_noise=0.005)
+    time_sig = np.fft.irfft(sig1 + sig2, axis=-1).real
+    X = doa.stft_frames(time_sig, 512)
+    sp = doa.doa_spectrum(X, mic_xy, 16000, 512, "FRIDA", num_src=2)
+    grid = np.arange(len(sp)) * (360.0 / len(sp))
+    # the two strongest grid-free peaks should land near the sources
+    peaks = grid[np.argsort(sp)[-40:]]
+    err1 = min(doa.angular_error_deg(p, 60.0) for p in peaks)
+    err2 = min(doa.angular_error_deg(p, 210.0) for p in peaks)
+    assert err1 <= 10 and err2 <= 10, (err1, err2)
+
+
 @pytest.mark.parametrize("angle", [10.0, 147.0, 265.0])
 def test_frida_recovers_plane_wave(angle):
     sig, mic_xy = make_group_signals(angle, snr_noise=0.01)
