@@ -68,9 +68,9 @@ def _enc_init(key: Array, st: EncStatic):
     return None
 
 
-def _enc_apply(param, st: EncStatic, x01: Array) -> Array:
+def _enc_apply(param, st: EncStatic, x01: Array, compute_dtype=None) -> Array:
     if st.otype == "hashgrid":
-        return hashgrid.encode(param, st.grid, x01)
+        return hashgrid.encode(param, st.grid, x01, compute_dtype=compute_dtype)
     if st.otype == "frequency":
         return hashgrid.frequency_encode(x01, st.n_frequencies)
     return x01
@@ -247,8 +247,13 @@ def init(key: Array, static: FieldStatic) -> Dict:
     return params
 
 
-def _enc(params: Dict, static: FieldStatic, name: str, x01: Array) -> Array:
-    return _enc_apply(params["enc"].get(name), static.encodings[name], x01)
+def _enc(
+    params: Dict, static: FieldStatic, name: str, x01: Array, compute_dtype=None
+) -> Array:
+    return _enc_apply(
+        params["enc"].get(name), static.encodings[name], x01,
+        compute_dtype=compute_dtype,
+    )
 
 
 def _to01(x: Array) -> Array:
@@ -375,7 +380,7 @@ def sigma_query(
     against pts' leading dims).
     """
     if static.variant == "complex":
-        pos_enc = _enc(params, static, "pos", _to01(pts))
+        pos_enc = _enc(params, static, "pos", _to01(pts), compute_dtype=compute_dtype)
         tx_pos_enc = _enc(params, static, "tx_pos", _to01(tx))
         tx_pos_enc = jnp.broadcast_to(tx_pos_enc, (*pos_enc.shape[:-1], tx_pos_enc.shape[-1]))
         # Fold the two concat parts into the first matmul separately so the
@@ -397,7 +402,7 @@ def sigma_query(
             compute_dtype=compute_dtype,
         )
     else:
-        pos_enc = _enc(params, static, "pos", _to01(pts))
+        pos_enc = _enc(params, static, "pos", _to01(pts), compute_dtype=compute_dtype)
         enc_in = pos_enc
         if static.enc_mode == "concat" and ch_idx is not None:
             enc_in = jnp.concatenate(
@@ -500,7 +505,8 @@ def point_features(
     if static.variant == "complex" and _paired_pos(static):
         e_pos = static.encodings["pos"]
         pos_enc, psig_enc = hashgrid.encode_pair(
-            params["enc"]["pos"], params["enc"]["pos_sig"], e_pos.grid, _to01(pts)
+            params["enc"]["pos"], params["enc"]["pos_sig"], e_pos.grid, _to01(pts),
+            compute_dtype=compute_dtype,
         )
         tx_pos_enc = _enc(params, static, "tx_pos", _to01(tx))
         tx_pos_enc = jnp.broadcast_to(
@@ -529,7 +535,7 @@ def point_features(
         params, static, pts, tx=tx, ch_idx=ch_idx, compute_dtype=compute_dtype
     )
     psig_enc = (
-        _enc(params, static, "pos_sig", _to01(pts))
+        _enc(params, static, "pos_sig", _to01(pts), compute_dtype=compute_dtype)
         if static.variant == "complex"
         else None
     )

@@ -136,12 +136,19 @@ def _corner_indices(static: HashGridStatic, pos0: Array) -> Array:
     return local + offsets[:, None]
 
 
-def encode(table: Array, static: HashGridStatic, x: Array) -> Array:
+def encode(
+    table: Array, static: HashGridStatic, x: Array, compute_dtype=None
+) -> Array:
     """Encode points x ∈ [0,1]³, shape [..., 3] → [..., L·F].
 
     Single batched gather over all levels and corners followed by trilinear
-    interpolation.
+    interpolation. With a bf16 ``compute_dtype`` the table is cast BEFORE
+    the gather: XLA's TPU row gather is byte-bound (16-byte rows move
+    ~2.4x faster than 32-byte rows, measured), and the consumers are bf16
+    matmuls anyway; interpolation still accumulates in fp32.
     """
+    if compute_dtype is not None and compute_dtype != table.dtype:
+        table = table.astype(compute_dtype)
     x = jnp.clip(x, 0.0, 1.0)
     res = jnp.asarray(static.resolutions, dtype=x.dtype)  # [L]
     scaled = x[..., None, :] * res[:, None]  # [..., L, 3]
@@ -161,12 +168,16 @@ def encode(table: Array, static: HashGridStatic, x: Array) -> Array:
     t = frac[..., :, None, :]  # [..., L, 1, 3]
     w = jnp.prod(corner * t + (1.0 - corner) * (1.0 - t), axis=-1)  # [..., L, 8]
 
-    out = jnp.sum(feats * w[..., None], axis=-2)  # [..., L, F]
+    out = jnp.sum(feats.astype(x.dtype) * w[..., None], axis=-2)  # [..., L, F]
     return out.reshape(*x.shape[:-1], static.n_levels * static.n_features)
 
 
 def encode_pair(
-    table_a: Array, table_b: Array, static: HashGridStatic, x: Array
+    table_a: Array,
+    table_b: Array,
+    static: HashGridStatic,
+    x: Array,
+    compute_dtype=None,
 ) -> Tuple[Array, Array]:
     """Encode through TWO same-geometry tables with ONE gather.
 
@@ -178,6 +189,8 @@ def encode_pair(
     Returns (enc_a, enc_b), each [..., L·F].
     """
     fused = jnp.concatenate([table_a, table_b], axis=-1)  # [total, 2F]
+    if compute_dtype is not None and compute_dtype != fused.dtype:
+        fused = fused.astype(compute_dtype)  # halves gather bytes (see encode)
     Fh = static.n_features
 
     x = jnp.clip(x, 0.0, 1.0)

@@ -69,6 +69,7 @@ def scatter_add_rows(
     tile_rows: int = 256,
     chunk: int = 1024,
     precision: str = "bf16x2",
+    payload: Optional[str] = None,
     interpret: bool = False,
 ) -> Array:
     """Sum update rows into bins: out[r] = sum_{i: idx[i]==r} upd[i].
@@ -79,6 +80,11 @@ def scatter_add_rows(
     impl: "xla" (scatter-add, the CPU/GPU default), "sorted" (sort +
     Pallas tile kernel, the TPU default), or None → auto. The
     AVR_TPU_SCATTER env var overrides auto selection.
+
+    payload: "f32" keeps full-precision update rows through the sort;
+    "bf16" rounds each update to bf16 (sums still accumulate in fp32 on
+    the MXU) and halves the sort traffic — gradient-grade accuracy.
+    None → AVR_TPU_SCATTER_PAYLOAD or "f32".
     """
     if impl is None:
         impl = os.environ.get("AVR_TPU_SCATTER") or (
@@ -90,10 +96,12 @@ def scatter_add_rows(
             .at[idx.reshape(-1)]
             .add(upd.reshape(-1, upd.shape[-1]))
         )
+    if payload is None:
+        payload = os.environ.get("AVR_TPU_SCATTER_PAYLOAD", "f32")
     return _sorted_scatter(
         idx, upd, n_rows,
         tile_rows=tile_rows, chunk=chunk, precision=precision,
-        interpret=interpret,
+        payload=payload, interpret=interpret,
     )
 
 
@@ -105,6 +113,7 @@ def _sorted_scatter(
     tile_rows: int,
     chunk: int,
     precision: str,
+    payload: str = "f32",
     interpret: bool,
 ) -> Array:
     F = upd.shape[-1]
@@ -117,16 +126,32 @@ def _sorted_scatter(
     E_pad = n_tiles * TS
 
     # ---- 1. sort (index, update-row) pairs by index -------------------
+    # The sort is the dominant cost of this path; "bf16" payload mode
+    # rounds updates to bf16 and packs feature pairs (u_j, u_{j+F/2})
+    # into single f32 lanes, so the sort moves 1 + F/2 operands instead
+    # of 1 + F (and the kernel needs one matmul pass instead of hi+lo).
+    packed = payload == "bf16" and F % 2 == 0 and precision != "f32"
+    if packed:
+        upd = jax.lax.bitcast_convert_type(
+            jnp.stack(
+                [upd[..., : F // 2].astype(jnp.bfloat16),
+                 upd[..., F // 2 :].astype(jnp.bfloat16)],
+                axis=-1,
+            ),
+            jnp.float32,
+        )  # [..., F//2] f32 carrying bf16 pairs
+    NP = upd.shape[-1]  # payload operand count
+
     # 2-D idx [G, K] means "group-structured": every index in group g is
     # < every index in group g+1 (hash-grid levels occupy disjoint
-    # ascending table segments), so G independent row-sorts — much
-    # cheaper than one flat M-element sort and batched on-device —
-    # followed by concatenation yield a globally sorted stream.
+    # ascending table segments), so G independent batched row-sorts
+    # (much cheaper than one flat M-element sort) followed by
+    # concatenation yield a globally sorted stream.
     if idx.ndim == 2:
-        ops = (idx,) + tuple(upd[..., j] for j in range(F))
+        ops = (idx,) + tuple(upd[..., j] for j in range(NP))
         sorted_ops = [o.reshape(-1) for o in jax.lax.sort(ops, dimension=1, num_keys=1)]
     else:
-        ops = (idx,) + tuple(upd[:, j] for j in range(F))
+        ops = (idx,) + tuple(upd[:, j] for j in range(NP))
         sorted_ops = jax.lax.sort(ops, num_keys=1)
     idx_s = sorted_ops[0]
 
@@ -150,15 +175,16 @@ def _sorted_scatter(
         [idx_s, jnp.full((pad,), E_pad, jnp.int32)]
     ).astype(jnp.float32)
     rows = [idx_f] + [
-        jnp.concatenate([sorted_ops[1 + j], jnp.zeros((pad,), upd.dtype)])
-        for j in range(F)
+        jnp.concatenate([sorted_ops[1 + j], jnp.zeros((pad,), jnp.float32)])
+        for j in range(NP)
     ]
     data = jnp.concatenate(
-        [jnp.stack(rows), jnp.zeros((8 - 1 - F, Mp), upd.dtype)]
+        [jnp.stack(rows), jnp.zeros((8 - 1 - NP, Mp), jnp.float32)]
     )  # [8, Mp]
 
     kernel = functools.partial(
-        _tile_kernel, TS=TS, UC=UC, CB=CB, F=F, precision=precision
+        _tile_kernel, TS=TS, UC=UC, CB=CB, F=F, precision=precision,
+        packed=packed,
     )
     out = pl.pallas_call(
         kernel,
@@ -180,7 +206,8 @@ def _sorted_scatter(
     return out[:n_rows]
 
 
-def _tile_kernel(blocks_ref, data_hbm, out_ref, scratch, sems, *, TS, UC, CB, F, precision):
+def _tile_kernel(blocks_ref, data_hbm, out_ref, scratch, sems, *, TS, UC, CB, F,
+                 precision, packed):
     t = pl.program_id(0)
     b0 = blocks_ref[0, t]
     b1 = blocks_ref[1, t]
@@ -194,18 +221,36 @@ def _tile_kernel(blocks_ref, data_hbm, out_ref, scratch, sems, *, TS, UC, CB, F,
             sems.at[slot],
         )
 
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
     def body(k, acc):
-        slot = 0
-        dma = chunk_dma(k, slot)
-        dma.start()
-        dma.wait()
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(k + 1, 1 - slot).start()
+
+        chunk_dma(k, slot).wait()
         rows = scratch[slot]  # [8, UC] f32
         # row 0 carries integer-valued f32 indices (exact below 2^24)
         local = rows[0:1, :].astype(jnp.int32) - t * TS  # [1, UC]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TS, UC), 0)
         onehot = (lanes == local).astype(jnp.bfloat16)  # [TS, UC]
-        u = rows[1 : 1 + F, :]  # [F, UC]
         contract = (((1,), (1,)), ((), ()))
+        if packed:
+            # unpack bf16 pairs: low half -> u_j, high half -> u_{j+F/2}
+            bits = pltpu.bitcast(rows[1 : 1 + F // 2, :], jnp.uint32)
+            lo = pltpu.bitcast(bits << 16, jnp.float32)
+            hi = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+            u = jnp.concatenate([lo, hi], axis=0)  # [F, UC], bf16-valued
+            return acc + jax.lax.dot_general(
+                onehot, u.astype(jnp.bfloat16),
+                dimension_numbers=contract,
+                preferred_element_type=jnp.float32,
+            )
+        u = rows[1 : 1 + F, :]  # [F, UC]
         if precision == "f32":
             acc = acc + jax.lax.dot_general(
                 onehot.astype(jnp.float32), u,
@@ -292,11 +337,11 @@ def gather_rows_leveled(table: Array, idx: Array) -> Array:
 
 
 def _gather_lvl_fwd(table, idx):
-    return table[idx], (idx, table.shape)
+    return table[idx], (idx, table.shape, int(table.dtype == jnp.bfloat16))
 
 
 def _gather_lvl_bwd(res, g):
-    idx, (E, F) = res
+    idx, (E, F), is_bf16 = res
     L, C = idx.shape[-2], idx.shape[-1]
     n = int(np.prod(idx.shape)) // (L * C)
     if n * C < _SORTED_MIN_ROWS // L:
@@ -309,7 +354,11 @@ def _gather_lvl_bwd(res, g):
         g2 = jnp.moveaxis(
             g.reshape(n, L, C, F).astype(jnp.float32), 1, 0
         ).reshape(L, n * C, F)
-        d = scatter_add_rows(idx2, g2, E).astype(g.dtype)
+        # bf16 forward (production compute dtype) → the cotangent is
+        # already bf16-grade; sorting it as packed bf16 pairs halves the
+        # dominant sort traffic. fp32 forward keeps exact f32 payload.
+        payload = "bf16" if is_bf16 else None
+        d = scatter_add_rows(idx2, g2, E, payload=payload).astype(g.dtype)
     return d, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
 
 

@@ -83,6 +83,15 @@ def grouped():
     err = np.abs(out - ref).max() / denom
     print(f"grouped: rel err {err:.2e}  ({time.time() - t0:.0f}s)", flush=True)
 
+    out2 = np.asarray(
+        hash_scatter.scatter_add_rows(
+            jnp.asarray(idx), jnp.asarray(upd), E, impl="sorted", payload="bf16"
+        )
+    )
+    err2 = np.abs(out2 - ref).max() / denom
+    # per-update bf16 rounding, fp32 accumulation -> ~1e-2 worst case
+    print(f"grouped bf16 payload: rel err {err2:.2e}", flush=True)
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "grouped":
