@@ -157,6 +157,7 @@ def _plot_cli(rest) -> None:
     p.add_argument("kind", choices=[
         "loss", "doa-scatter", "frame-errors", "frame-scatter",
         "stft-compare", "band-response", "median-summary",
+        "waveform-level", "rotate", "report",
     ])
     p.add_argument("inputs", nargs="+",
                    help="metrics.jsonl / doa pickle / condition pickles / "
@@ -188,6 +189,16 @@ def _plot_cli(rest) -> None:
         df = aggregators.circular_median_summary(a.inputs[0])
         df.to_csv(a.save, index=False)
         print(json.dumps({"rows": len(df), "csv": a.save}))
+    elif a.kind == "waveform-level":
+        df = aggregators.waveform_level_summary(a.inputs[0], a.save)
+        print(df.groupby("reduction")[["pred_vs_true", "pred_vs_gt"]]
+              .mean().to_string())
+    elif a.kind == "rotate":
+        aggregators.plot_rotate_results(a.inputs[0], a.save)
+    elif a.kind == "report":
+        doa_by_iter = aggregators.experiment_report(a.inputs[0], save_path=a.save)
+        print(json.dumps({str(k): v for k, v in sorted(doa_by_iter.items())},
+                         indent=2))
     print(f"wrote {a.save}")
 
 

@@ -260,3 +260,144 @@ def study_report(study, save_path: Optional[str] = None) -> Dict:
         plt.savefig(save_path, dpi=130)
         plt.close(fig)
     return report
+
+
+def waveform_level_summary(root: str, save_dir: Optional[str] = None) -> "object":
+    """Per-waveform (group) representative-angle errors across a results
+    tree (reference/whitenoise_frame_eval_waveformlevel.py): for every
+    condition pickle under `root`, reduce each group's window-angle
+    series to a circular mean AND a circular median, compute
+    |gt−true| / |pred−true| / |pred−gt| per reduction, and emit a tidy
+    DataFrame plus 1x3 scatter figures per reduction."""
+    import pandas as pd
+
+    rows = []
+    pkls = []
+    for dirpath, _dirs, files in os.walk(root):
+        pkls.extend(os.path.join(dirpath, f) for f in files
+                    if f.endswith(".pkl") and f.startswith("results"))
+    for pk in sorted(pkls):
+        with open(pk, "rb") as f:
+            cond = pickle.load(f)
+        for g, rec in enumerate(cond.get("per_group", [])):
+            for red in ("mean", "median"):
+                out = {}
+                for name in ("pred", "gt"):
+                    win = [a for a in rec[name]["windows"] if a == a]
+                    if not win:
+                        out[name] = float("nan")
+                    elif red == "mean":
+                        out[name] = wn.circ_mean_deg(win)[0]
+                    else:
+                        s = np.sort((np.asarray(win) - rec["true_deg"] + 180) % 360)
+                        out[name] = float(
+                            (np.median(s) + rec["true_deg"] - 180) % 360
+                        )
+                rows.append({
+                    "pickle": os.path.relpath(pk, root), "group": g,
+                    "reduction": red,
+                    "pred_deg": out["pred"], "gt_deg": out["gt"],
+                    "true_deg": rec["true_deg"],
+                    "gt_vs_true": wn.angular_error_deg(out["gt"], rec["true_deg"]),
+                    "pred_vs_true": wn.angular_error_deg(out["pred"], rec["true_deg"]),
+                    "pred_vs_gt": wn.angular_error_deg(out["pred"], out["gt"]),
+                })
+    df = pd.DataFrame(rows)
+    if save_dir and len(df):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(save_dir, exist_ok=True)
+        for red, fname in (("mean", "scatter_wave_all.png"),
+                           ("median", "scatter_wave_all_median.png")):
+            d = df[df["reduction"] == red]
+            fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+            for ax, (xk, yk) in zip(axes, (("true_deg", "gt_deg"),
+                                           ("true_deg", "pred_deg"),
+                                           ("gt_deg", "pred_deg"))):
+                ax.scatter(d[xk], d[yk], s=12, alpha=0.6)
+                ax.plot([0, 360], [0, 360], "k--", lw=0.8)
+                ax.set_xlabel(xk)
+                ax.set_ylabel(yk)
+                ax.set_xlim(0, 360)
+                ax.set_ylim(0, 360)
+            fig.suptitle(f"waveform-level ({red})  "
+                         f"MAE pred-vs-true {d['pred_vs_true'].mean():.1f}°")
+            fig.tight_layout()
+            fig.savefig(os.path.join(save_dir, fname), dpi=120)
+            plt.close(fig)
+        df.to_csv(os.path.join(save_dir, "waveform_level.csv"), index=False)
+    return df
+
+
+def plot_rotate_results(npz_path: str, save_path: str) -> None:
+    """Rotation-sweep visualization (reference/vis_eval_rotate_doa_avr.py):
+    predicted vs true DoA over the rotation sweep plus the error
+    histogram, from rotate_group_eval's val_rotate_pred.npz."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    z = np.load(npz_path)
+    pred, true = np.asarray(z["pred_deg"], float), np.asarray(z["true_deg"], float)
+    errs = np.asarray(
+        [doa_lib.angular_error_deg(p, t) for p, t in zip(pred, true)]
+    )
+    fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+    axes[0].scatter(true, pred, s=14, alpha=0.7)
+    axes[0].plot([0, 360], [0, 360], "k--", lw=0.8)
+    axes[0].set_xlabel("true DoA (deg)")
+    axes[0].set_ylabel("predicted DoA (deg)")
+    axes[0].set_title(f"rotation sweep (deg_step={float(z['deg_step']):g})")
+    axes[1].hist(errs, bins=36, range=(0, 180), color="tab:blue", alpha=0.8)
+    axes[1].set_xlabel("|error| (deg)")
+    axes[1].set_ylabel("count")
+    axes[1].set_title(f"mean {errs.mean():.1f}°  median {np.median(errs):.1f}°")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+
+
+def experiment_report(
+    config_path: str,
+    algos: Sequence[str] = ("NormMUSIC",),
+    save_path: Optional[str] = None,
+    fs: Optional[int] = None,
+) -> Dict[int, float]:
+    """Config-driven training report (reference/plot_eval_with_config.py):
+    from an experiment YAML, locate the logdir, run DoA over every
+    val_iter*.npz checkpoint dump (pickles cached in doa_results/), and
+    merge the loss curves with per-checkpoint DoA error into one figure.
+    Returns {iteration: mean NormMUSIC pred-vs-gt error}."""
+    import glob as _glob
+    import re as _re
+
+    from avr_tpu.config import AVRConfig
+    from avr_tpu.utils import plotting
+
+    cfg = AVRConfig.from_yaml(config_path)
+    base = os.path.join(cfg.path.logdir, cfg.path.expname)
+    npzs = sorted(_glob.glob(os.path.join(base, "val_result", "val_iter*.npz")))
+    doa_dir = os.path.join(base, "doa_results")
+    os.makedirs(doa_dir, exist_ok=True)
+    doa_by_iter: Dict[int, float] = {}
+    for p in npzs:
+        it = int(_re.search(r"val_iter(\d+)", os.path.basename(p)).group(1))
+        pkl = os.path.join(doa_dir, f"doa_iter{it:06d}.pkl")
+        if os.path.exists(pkl):  # resume-safe caching (reference pattern)
+            with open(pkl, "rb") as f:
+                res = pickle.load(f)
+        else:
+            res = doa_lib.run_doa_on_npz(
+                p, fs or cfg.render.fs, algo_names=list(algos), save_path=pkl
+            )
+        doa_by_iter[it] = doa_lib.summarize(res)[algos[0]]["mean_pred_vs_gt"]
+    out = save_path or os.path.join(base, "loss_and_doa_plot.png")
+    metrics = os.path.join(base, "metrics.jsonl")
+    if os.path.exists(metrics):
+        plotting.plot_loss_and_doa(metrics, doa_by_iter, out)
+    return doa_by_iter

@@ -120,3 +120,77 @@ def test_inspectors(tmp_path, rng):
     np.savez(z, ir=rng.normal(size=10), position_rx=np.ones(3))
     zi = tools.inspect_npz(z)
     assert set(zi) == {"ir", "position_rx"}
+
+
+def test_waveform_level_summary(tmp_path):
+    _fake_condition(tmp_path, "results_a.pkl")
+    sub = tmp_path / "deeper"
+    sub.mkdir()
+    _fake_condition(sub, "results_b.pkl")
+    out = tmp_path / "wl"
+    df = aggregators.waveform_level_summary(str(tmp_path), str(out))
+    # 2 pickles x 2 groups x 2 reductions
+    assert len(df) == 8
+    assert set(df["reduction"]) == {"mean", "median"}
+    m = df[(df["reduction"] == "mean") & (df["group"] == 0)].iloc[0]
+    assert abs(m["pred_deg"] - 46.64) < 0.5  # circular mean of 44/46/50
+    assert os.path.exists(out / "scatter_wave_all.png")
+    assert os.path.exists(out / "scatter_wave_all_median.png")
+    assert os.path.exists(out / "waveform_level.csv")
+
+
+def test_plot_rotate_results(tmp_path):
+    import numpy as np
+
+    npz = str(tmp_path / "val_rotate_pred.npz")
+    np.savez(
+        npz,
+        pred_deg=np.asarray([10, 50, 100], np.int16),
+        true_deg=np.asarray([12, 48, 95], np.int16),
+        deg_step=np.float32(30.0),
+    )
+    out = str(tmp_path / "rotate.png")
+    aggregators.plot_rotate_results(npz, out)
+    assert os.path.exists(out)
+
+
+def test_experiment_report(tmp_path):
+    import json
+
+    import numpy as np
+    import yaml
+
+    from test_doa import _fake_npz
+
+    base = tmp_path / "logs" / "exp1"
+    val = base / "val_result"
+    val.mkdir(parents=True)
+    # two checkpoints' npz dumps
+    src = _fake_npz(tmp_path, [45.0, 120.0])
+    import shutil
+
+    shutil.copy(src, val / "val_iter000100.npz")
+    shutil.copy(src, val / "val_iter000200.npz")
+    with open(base / "metrics.jsonl", "w") as f:
+        for step in (100, 200):
+            f.write(json.dumps({"tag": "train_loss", "value": 1.0 / step,
+                                "step": step}) + "\n")
+    cfg = {
+        "path": {"expname": "exp1", "logdir": str(tmp_path / "logs"),
+                 "dataset_type": "Real_env"},
+        "render": {"fs": 16000},
+        "train": {}, "model": {},
+    }
+    cfg_path = str(tmp_path / "conf.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    out = str(tmp_path / "report.png")
+    doa_by_iter = aggregators.experiment_report(cfg_path, save_path=out)
+    assert set(doa_by_iter) == {100, 200}
+    assert all(np.isfinite(v) for v in doa_by_iter.values())
+    assert os.path.exists(out)
+    # resume-safe: cached pickles exist and a second run reuses them
+    assert os.path.exists(base / "doa_results" / "doa_iter000100.pkl")
+    again = aggregators.experiment_report(cfg_path, save_path=out)
+    assert again == doa_by_iter
