@@ -197,10 +197,33 @@ class AVRConfig:
 
 
 # ----------------------------------------------------------------------
+def _coerce(klass, known: Dict[str, Any]) -> Dict[str, Any]:
+    """Coerce scalar fields to their declared type.
+
+    YAML 1.1 parses exponent literals without a dot ('2e-4', '1e-3' —
+    the style every reference config uses, e.g.
+    reference/config_files/avr_raf_furnished.yml:25) as STRINGS; coerce
+    them (and int-typed fields given floats/strings) to the dataclass
+    field types instead of crashing downstream.
+    """
+    types = {f.name: f.type for f in dataclasses.fields(klass)}
+    out = {}
+    for k, v in known.items():
+        t = str(types.get(k, ""))
+        if t == "float" and not isinstance(v, float):
+            v = float(v)
+        elif t == "int" and not isinstance(v, int):
+            v = int(float(v))
+        elif t == "bool" and isinstance(v, str):
+            v = v.strip().lower() in ("1", "true", "yes", "on")
+        out[k] = v
+    return out
+
+
 def _build(klass, raw: Dict[str, Any]):
     """Construct a dataclass from a dict, routing unknown keys into .extra."""
     names = {f.name for f in dataclasses.fields(klass)} - {"extra"}
-    known = {k: v for k, v in raw.items() if k in names}
+    known = _coerce(klass, {k: v for k, v in raw.items() if k in names})
     extra = {k: v for k, v in raw.items() if k not in names}
     return klass(**known, extra=extra)
 
@@ -243,7 +266,9 @@ def _build_model(raw: Dict[str, Any]) -> ModelConfig:
         ch = raw.pop("channel_embed") or {}
         kwargs["channel_embed"] = _build(ChannelEmbedConfig, ch)
     names = {f.name for f in dataclasses.fields(ModelConfig)} - {"extra"}
+    scalars = {}
     for k in list(raw):
         if k in names:
-            kwargs[k] = raw.pop(k)
+            scalars[k] = raw.pop(k)
+    kwargs.update(_coerce(ModelConfig, scalars))
     return ModelConfig(**kwargs, extra=raw)
