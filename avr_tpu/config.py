@@ -99,6 +99,11 @@ class EncodingConfig:
     log2_hashmap_size: int = 18
     base_resolution: int = 16
     per_level_scale: float = 2.0
+    # "trilinear" (tcnn's "Linear", 8 corners/level) or "simplex" (Kuhn
+    # tetrahedral, 4 vertices/level — halves the gather/scatter row
+    # stream on TPU; see avr_tpu/models/hashgrid.py). Unrecognized values
+    # (e.g. tcnn's "Smoothstep") fall back to trilinear.
+    interpolation: str = "trilinear"
     # Frequency-encoding fallback (otype == "Frequency").
     n_frequencies: int = 12
     extra: Dict[str, Any] = field(default_factory=dict)

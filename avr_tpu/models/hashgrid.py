@@ -52,10 +52,19 @@ class HashGridStatic:
     sizes: Tuple[int, ...]  # table entries per level
     hashed: Tuple[bool, ...]  # True → spatial hash, False → dense index
     total_entries: int
+    # "trilinear": 8 cell corners per (point, level); "simplex": Kuhn
+    # tetrahedral interpolation, 4 vertices per (point, level) — halves
+    # the latency-bound gather row stream fwd AND the scatter-add update
+    # stream bwd (the step's dominant costs on TPU), stays C0-continuous.
+    interp: str = "trilinear"
 
     @property
     def n_output_dims(self) -> int:
         return self.n_levels * self.n_features
+
+    @property
+    def n_corners(self) -> int:
+        return 4 if self.interp == "simplex" else 8
 
 
 def build_static(cfg: EncodingConfig) -> HashGridStatic:
@@ -81,6 +90,11 @@ def build_static(cfg: EncodingConfig) -> HashGridStatic:
         sizes=tuple(sizes),
         hashed=tuple(hashed),
         total_entries=offset,
+        interp=(
+            "simplex"
+            if str(getattr(cfg, "interpolation", "")).lower() == "simplex"
+            else "trilinear"
+        ),
     )
 
 
@@ -95,27 +109,20 @@ def init(key: Array, static: HashGridStatic, dtype=jnp.float32) -> Array:
     )
 
 
-def _corner_indices(static: HashGridStatic, pos0: Array) -> Array:
-    """Flat table indices of the 8 cell corners for every (point, level).
+def _flat_indices(static: HashGridStatic, coords: Array) -> Array:
+    """Flat table indices for lattice coordinates coords [..., L, K, 3].
 
-    pos0: [..., L, 3] int32 lower-corner lattice coordinates.
-    Returns int32 [..., L, 8].
+    Dense levels index x + y·(res+1) + z·(res+1)²; hashed levels use the
+    instant-ngp spatial hash. Returns int32 [..., L, K].
     """
     res = jnp.asarray(static.resolutions, dtype=jnp.int32)  # [L]
     sizes = jnp.asarray(static.sizes, dtype=jnp.uint32)  # [L]
     offsets = jnp.asarray(static.offsets, dtype=jnp.int32)  # [L]
     use_hash = jnp.asarray(static.hashed, dtype=bool)  # [L]
 
-    # 8 corner offsets of the unit cell, shaped for broadcast: [8, 3].
-    corner = jnp.asarray(
-        [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=jnp.int32
-    )
-    # [..., L, 8, 3]; corners may touch coordinate `res` (grid has res+1
-    # vertices per axis).
-    coords = pos0[..., :, None, :] + corner[None, :, :]
+    # Vertices may touch coordinate `res` (grid has res+1 per axis).
     coords = jnp.minimum(coords, res[:, None, None])
 
-    # Dense index: x + y·(res+1) + z·(res+1)² — valid for non-hashed levels.
     stride = res[:, None] + 1  # [L, 1]
     dense = (
         coords[..., 0]
@@ -136,6 +143,74 @@ def _corner_indices(static: HashGridStatic, pos0: Array) -> Array:
     return local + offsets[:, None]
 
 
+def _trilinear(pos0: Array, frac: Array) -> Tuple[Array, Array]:
+    """8 cell-corner offsets + trilinear weights.
+
+    pos0 [..., L, 3] int32, frac [..., L, 3] → (coords [..., L, 8, 3],
+    w [..., L, 8]).
+    """
+    corner = jnp.asarray(
+        [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=jnp.int32
+    )  # [8, 3]
+    coords = pos0[..., :, None, :] + corner[None, :, :]
+    cf = corner.astype(frac.dtype)
+    t = frac[..., :, None, :]  # [..., L, 1, 3]
+    w = jnp.prod(cf * t + (1.0 - cf) * (1.0 - t), axis=-1)  # [..., L, 8]
+    return coords, w
+
+
+def _simplex(pos0: Array, frac: Array) -> Tuple[Array, Array]:
+    """Kuhn tetrahedral interpolation: 4 vertices + barycentric weights.
+
+    Each unit cell splits into 6 tetrahedra by the ordering of the
+    fractional coordinates (Freudenthal/Kuhn triangulation). The vertex
+    chain is v_k = pos0 + Σ_{m≤k} e_{a_m} where a_1..a_3 sorts frac
+    descending; weights are successive differences of the sorted fracs.
+    Piecewise-linear, reproduces linear functions exactly, C0-continuous
+    across cells and tetrahedra (weights of disagreeing vertices vanish
+    at ties). Returns (coords [..., L, 4, 3], w [..., L, 4]).
+    """
+    # Descending rank of each axis' frac (ties broken by axis index).
+    t = frac  # [..., L, 3]
+    gt = (t[..., None, :] > t[..., :, None]) | (
+        (t[..., None, :] == t[..., :, None])
+        & (jnp.arange(3)[None, :] < jnp.arange(3)[:, None])
+    )  # [..., L, 3(axis i), 3(axis j)]: t_j beats t_i
+    rank = jnp.sum(gt, axis=-1).astype(jnp.int32)  # [..., L, 3] in 0..2
+
+    # Vertex k includes axis i iff rank_i < k, k = 0..3.
+    k = jnp.arange(4, dtype=jnp.int32)  # [4]
+    step = (rank[..., None, :] < k[:, None]).astype(jnp.int32)  # [..., L, 4, 3]
+    coords = pos0[..., :, None, :] + step
+
+    s1 = jnp.max(t, axis=-1)
+    s3 = jnp.min(t, axis=-1)
+    s2 = jnp.sum(t, axis=-1) - s1 - s3
+    w = jnp.stack([1.0 - s1, s1 - s2, s2 - s3, s3], axis=-1)  # [..., L, 4]
+    return coords, w
+
+
+def _indices_weights(static: HashGridStatic, x: Array) -> Tuple[Array, Array]:
+    """Shared front half of encode/encode_pair.
+
+    x [..., 3] in [0,1]³ → (idx [..., L, K], w [..., L, K]) with
+    K = static.n_corners.
+    """
+    x = jnp.clip(x, 0.0, 1.0)
+    res = jnp.asarray(static.resolutions, dtype=x.dtype)  # [L]
+    scaled = x[..., None, :] * res[:, None]  # [..., L, 3]
+    pos0 = jnp.floor(scaled).astype(jnp.int32)
+    pos0 = jnp.minimum(pos0, jnp.asarray(static.resolutions, jnp.int32)[:, None] - 1)
+    pos0 = jnp.maximum(pos0, 0)
+    frac = scaled - pos0.astype(x.dtype)  # [..., L, 3]
+
+    if static.interp == "simplex":
+        coords, w = _simplex(pos0, frac)
+    else:
+        coords, w = _trilinear(pos0, frac)
+    return _flat_indices(static, coords), w
+
+
 def encode(
     table: Array, static: HashGridStatic, x: Array, compute_dtype=None
 ) -> Array:
@@ -149,25 +224,9 @@ def encode(
     """
     if compute_dtype is not None and compute_dtype != table.dtype:
         table = table.astype(compute_dtype)
-    x = jnp.clip(x, 0.0, 1.0)
-    res = jnp.asarray(static.resolutions, dtype=x.dtype)  # [L]
-    scaled = x[..., None, :] * res[:, None]  # [..., L, 3]
-    pos0 = jnp.floor(scaled).astype(jnp.int32)
-    pos0 = jnp.minimum(pos0, jnp.asarray(static.resolutions, jnp.int32)[:, None] - 1)
-    pos0 = jnp.maximum(pos0, 0)
-    frac = scaled - pos0.astype(x.dtype)  # [..., L, 3]
-
-    idx = _corner_indices(static, pos0)  # [..., L, 8]
+    idx, w = _indices_weights(static, x)  # [..., L, K] each
     # gather with TPU-native scatter-add backward (avr_tpu/ops/hash_scatter)
-    feats = hash_scatter.gather_rows_leveled(table, idx)  # [..., L, 8, F]
-
-    # Trilinear weights: ∏_d (corner_d ? t_d : 1−t_d).
-    corner = jnp.asarray(
-        [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=x.dtype
-    )  # [8, 3]
-    t = frac[..., :, None, :]  # [..., L, 1, 3]
-    w = jnp.prod(corner * t + (1.0 - corner) * (1.0 - t), axis=-1)  # [..., L, 8]
-
+    feats = hash_scatter.gather_rows_leveled(table, idx)  # [..., L, K, F]
     out = jnp.sum(feats.astype(x.dtype) * w[..., None], axis=-2)  # [..., L, F]
     return out.reshape(*x.shape[:-1], static.n_levels * static.n_features)
 
@@ -193,23 +252,8 @@ def encode_pair(
         fused = fused.astype(compute_dtype)  # halves gather bytes (see encode)
     Fh = static.n_features
 
-    x = jnp.clip(x, 0.0, 1.0)
-    res = jnp.asarray(static.resolutions, dtype=x.dtype)
-    scaled = x[..., None, :] * res[:, None]
-    pos0 = jnp.floor(scaled).astype(jnp.int32)
-    pos0 = jnp.minimum(pos0, jnp.asarray(static.resolutions, jnp.int32)[:, None] - 1)
-    pos0 = jnp.maximum(pos0, 0)
-    frac = scaled - pos0.astype(x.dtype)
-
-    idx = _corner_indices(static, pos0)  # [..., L, 8]
-    feats = hash_scatter.gather_rows_leveled(fused, idx)  # [..., L, 8, 2F]
-
-    corner = jnp.asarray(
-        [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=x.dtype
-    )
-    t = frac[..., :, None, :]
-    w = jnp.prod(corner * t + (1.0 - corner) * (1.0 - t), axis=-1)
-
+    idx, w = _indices_weights(static, x)  # [..., L, K] each
+    feats = hash_scatter.gather_rows_leveled(fused, idx)  # [..., L, K, 2F]
     out = jnp.sum(feats * w[..., None], axis=-2)  # [..., L, 2F]
     lead = x.shape[:-1]
     return (

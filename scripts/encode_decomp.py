@@ -35,23 +35,7 @@ def main():
     x = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
 
     # precompute idx/weights on device once
-    def idx_and_w(xq):
-        x1 = jnp.clip(xq, 0.0, 1.0)
-        res = jnp.asarray(st.resolutions, xq.dtype)
-        scaled = x1[..., None, :] * res[:, None]
-        pos0 = jnp.floor(scaled).astype(jnp.int32)
-        pos0 = jnp.minimum(pos0, jnp.asarray(st.resolutions, jnp.int32)[:, None] - 1)
-        pos0 = jnp.maximum(pos0, 0)
-        frac = scaled - pos0.astype(xq.dtype)
-        idx = hashgrid._corner_indices(st, pos0)
-        corner = jnp.asarray(
-            [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=xq.dtype
-        )
-        t = frac[..., :, None, :]
-        w = jnp.prod(corner * t + (1.0 - corner) * (1.0 - t), axis=-1)
-        return idx, w
-
-    idx, w = jax.jit(idx_and_w)(x)
+    idx, w = jax.jit(lambda xq: hashgrid._indices_weights(st, xq))(x)
     idx_flat = idx.reshape(-1)
 
     timeit("idx+w only", jax.jit(lambda q: idx_and_w(q)[1]), x)

@@ -26,17 +26,25 @@ from avr_tpu.render.fused import render_fused  # noqa: E402
 from avr_tpu.render.oracle import render_oracle  # noqa: E402
 
 
-def main():
+def main(interp="trilinear"):
     with open("/root/reference/config_files/avr_meshrir.yml") as f:
         cfg = AVRConfig.from_dict(yaml.safe_load(f))
     rc, mc = cfg.render, cfg.model
     rc.n_azi, rc.n_ele, rc.n_samples = 8, 4, 8
     T = 128
     mc.signal_output_dim = T
-    for name in ("pos_encoding", "dir_encoding", "tx_encoding"):
+    shrunk = 0
+    for name in (
+        "pos_encoding_sigma", "dir_encoding_sig", "tx_encoding_sig",
+        "tx_pos_encoding_sigma", "pos_encoding_sig", "tx_pos_encoding_sig",
+        "tx_dir_encoding_sig",
+    ):
         enc = getattr(mc, name, None)
         if enc is not None:
             enc.n_levels, enc.log2_hashmap_size, enc.base_resolution = 4, 10, 4
+            enc.interpolation = interp
+            shrunk += 1
+    assert shrunk >= 3, f"encoding shrink matched only {shrunk} encodings"
 
     fst = field.build_field(mc, cfg.path.dataset_type)
     params = field.init(jax.random.PRNGKey(0), fst)
@@ -99,8 +107,9 @@ def main():
           f"|g|1={float(gnorm):.3e} ({time.time() - t0:.0f}s)", flush=True)
     assert float(l1) < float(l0), "loss must decrease"
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
-    print(f"[{platform}] VERIFY OK", flush=True)
+    print(f"[{platform}] VERIFY OK ({interp})", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main("trilinear")
+    main("simplex")

@@ -69,11 +69,12 @@ def test_encode_grads_match_direct_indexing():
         pos0 = jnp.floor(scaled).astype(jnp.int32)
         pos0 = jnp.clip(pos0, 0, jnp.asarray(st.resolutions, jnp.int32)[:, None] - 1)
         frac = scaled - pos0.astype(x.dtype)
-        idx = hashgrid._corner_indices(st, pos0)
-        feats = t[idx]
-        corner = jnp.asarray(
-            [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=x.dtype
+        corner_i = jnp.asarray(
+            [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=jnp.int32
         )
+        idx = hashgrid._flat_indices(st, pos0[..., :, None, :] + corner_i)
+        feats = t[idx]
+        corner = corner_i.astype(x.dtype)
         tt = frac[..., :, None, :]
         w = jnp.prod(corner * tt + (1.0 - corner) * (1.0 - tt), axis=-1)
         out = jnp.sum(feats * w[..., None], axis=-2)

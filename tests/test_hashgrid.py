@@ -124,6 +124,98 @@ def test_interpolation_is_continuous():
     assert jumps < 5e-4  # features are ~1e-4 scale; continuity
 
 
+def make_simplex():
+    cfg = EncodingConfig(
+        n_levels=6, n_features_per_level=2, log2_hashmap_size=7,
+        base_resolution=3, per_level_scale=1.7, interpolation="simplex",
+    )
+    static = hashgrid.build_static(cfg)
+    table = hashgrid.init(jax.random.PRNGKey(0), static)
+    return static, table
+
+
+def test_simplex_weights_are_barycentric(rng):
+    static, _ = make_simplex()
+    x = jnp.asarray(rng.uniform(0, 1, size=(100, 3)), jnp.float32)
+    idx, w = hashgrid._indices_weights(static, x)
+    assert idx.shape == (100, static.n_levels, 4)
+    wn = np.asarray(w)
+    assert wn.shape == (100, static.n_levels, 4)
+    np.testing.assert_allclose(wn.sum(-1), 1.0, atol=1e-5)
+    assert (wn >= -1e-6).all()
+
+
+def test_simplex_reproduces_linear_functions(rng):
+    """Barycentric interpolation over a dense grid is exact on linear
+    fields: load each dense-level entry with a*x+b*y+c*z of its vertex
+    and check the encoding returns the same linear function of x."""
+    cfg = EncodingConfig(
+        n_levels=2, n_features_per_level=2, log2_hashmap_size=16,
+        base_resolution=4, per_level_scale=2.0, interpolation="simplex",
+    )
+    static = hashgrid.build_static(cfg)
+    assert not any(static.hashed)
+    coef = np.array([[0.3, -0.7], [1.1, 0.2], [-0.5, 0.9]])  # [3, F]
+    tab = np.zeros((static.total_entries, 2), np.float32)
+    for l in range(static.n_levels):
+        res = static.resolutions[l]
+        s = res + 1
+        zz, yy, xx = np.meshgrid(*( [np.arange(s)] * 3 ), indexing="ij")
+        verts = np.stack([xx, yy, zz], -1).reshape(-1, 3) / res  # x fastest
+        tab[static.offsets[l] : static.offsets[l] + s**3] = verts @ coef
+    x = rng.uniform(0, 1, size=(64, 3)).astype(np.float32)
+    enc = np.asarray(hashgrid.encode(jnp.asarray(tab), static, jnp.asarray(x)))
+    want = x @ coef  # every level reproduces the same linear field
+    for l in range(static.n_levels):
+        np.testing.assert_allclose(enc[:, 2 * l : 2 * l + 2], want, atol=1e-5)
+
+
+def test_simplex_is_continuous():
+    static, table = make_simplex()
+    # walk along the main diagonal (tetrahedron boundaries everywhere:
+    # all fracs tie) and across cell boundaries; no jumps
+    xs = np.stack([np.linspace(0.30, 0.37, 512)] * 3, axis=-1).astype(np.float32)
+    enc = np.asarray(hashgrid.encode(table, static, jnp.asarray(xs)))
+    assert np.abs(np.diff(enc, axis=0)).max() < 5e-4
+    # and along an off-diagonal line crossing face boundaries
+    t = np.linspace(0.30, 0.37, 512, dtype=np.float32)
+    xs2 = np.stack([t, 0.5 * t + 0.1, t * t + 0.05], axis=-1)
+    enc2 = np.asarray(hashgrid.encode(table, static, jnp.asarray(xs2)))
+    assert np.abs(np.diff(enc2, axis=0)).max() < 5e-4
+
+
+def test_simplex_gradients_match_xla_scatter(rng, monkeypatch):
+    static, table = make_simplex()
+    x = jnp.asarray(rng.uniform(0.05, 0.95, size=(32, 3)), jnp.float32)
+
+    def loss(tab):
+        return jnp.sum(hashgrid.encode(tab, static, x) ** 2)
+
+    monkeypatch.setenv("AVR_TPU_SCATTER", "xla")
+    g_xla = np.asarray(jax.grad(loss)(table))
+    assert np.isfinite(g_xla).all() and np.abs(g_xla).sum() > 0
+    # finite-difference spot check
+    i = int(np.argmax(np.abs(g_xla).sum(axis=-1)))
+    eps = 1e-4
+    fd = (loss(table.at[i, 0].add(eps)) - loss(table.at[i, 0].add(-eps))) / (2 * eps)
+    np.testing.assert_allclose(float(fd), g_xla[i, 0], rtol=2e-2, atol=1e-5)
+
+
+def test_encode_pair_simplex_matches_two_singles(rng):
+    static, table = make_simplex()
+    tb = hashgrid.init(jax.random.PRNGKey(1), static)
+    x = jnp.asarray(rng.uniform(0, 1, size=(40, 3)), jnp.float32)
+    ea, eb = hashgrid.encode_pair(table, tb, static, x)
+    np.testing.assert_allclose(
+        np.asarray(ea), np.asarray(hashgrid.encode(table, static, x)),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(eb), np.asarray(hashgrid.encode(tb, static, x)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_frequency_encoding_shape():
     x = jnp.asarray([[0.1, 0.5, 0.9]], jnp.float32)
     enc = hashgrid.frequency_encode(x, 4)
