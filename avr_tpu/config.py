@@ -84,6 +84,7 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # matmul compute dtype for field queries
     shell_chunk: int = 1  # sample shells rendered per scan step
     remat: bool = True  # rematerialize the scan body in the backward pass
+    steps_per_call: int = 1  # optimizer steps folded into one dispatch (scan)
     seed: int = 0
     log_freq: int = 20
     extra: Dict[str, Any] = field(default_factory=dict)

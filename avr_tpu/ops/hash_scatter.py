@@ -26,8 +26,11 @@ to block boundaries; rows spilling in from neighbouring tiles fall outside
 the tile's local index range, so their one-hot column is all-zero and they
 contribute nothing — no masking pass is needed. Updates are exact-summed;
 only the summation ORDER differs from XLA's scatter, so results match to
-fp32 accumulation tolerance (bf16x2 splitting: ~1e-6 relative; "f32"
-precision mode: exact fp32 MXU passes).
+fp32 accumulation tolerance. Precision modes, MEASURED on v5e hardware
+(scripts/test_scatter_kernel.py): bf16x2 (hi+lo split) ~4e-6 relative,
+bf16x3 ~1.5e-7, and "f32" ~2.5e-3 — a Pallas f32·f32 dot lowers to a
+SINGLE bf16-rounded MXU pass on v5e, so "f32" is NOT exact there; use
+bf16x3 when near-fp32 sums are needed.
 """
 
 from __future__ import annotations
@@ -45,6 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _LANE = 128
+_NSLOT = 4  # chunk DMA slots (ring buffer over global chunk ids)
+_LOOK = 2  # chunk DMA lookahead; must be < _NSLOT
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -66,7 +71,7 @@ def scatter_add_rows(
     n_rows: int,
     *,
     impl: Optional[str] = None,
-    tile_rows: int = 256,
+    tile_rows: int = 512,
     chunk: int = 1024,
     precision: str = "bf16x2",
     payload: Optional[str] = None,
@@ -155,12 +160,33 @@ def _sorted_scatter(
         sorted_ops = jax.lax.sort(ops, num_keys=1)
     idx_s = sorted_ops[0]
 
+    Mp = (_cdiv(M, UC) + 1) * UC  # padded stream length (see step 3)
+
     # ---- 2. tile segment boundaries ----------------------------------
     edges = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TS
     starts = jnp.searchsorted(idx_s, edges, side="left").astype(jnp.int32)
     b0 = starts[:-1] // _LANE  # first 128-col block of each tile
     b1 = -(-starts[1:] // _LANE)  # one past last block (ceil)
     blocks = jnp.stack([b0, b1], axis=0)  # [2, n_tiles] int32
+
+    # Global chunk schedule: the kernel pipelines chunk DMAs ACROSS tiles
+    # (most tiles have 1-2 chunks, so intra-tile double buffering alone
+    # leaves every tile stalled on its first chunk). Chunks are numbered
+    # globally in processing order; colblk[g] is chunk g's starting
+    # 128-column block, precomputed here so any grid step can prefetch
+    # any future chunk without scanning tile metadata.
+    nch = -(-(b1 - b0) // CB)  # chunks per tile
+    cbase = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch, dtype=jnp.int32)]
+    )  # [n_tiles + 1]
+    g_max = M // UC + 1 + n_tiles  # static upper bound on total chunks
+    g_ar = jnp.arange(g_max, dtype=jnp.int32)
+    t_of = jnp.clip(
+        jnp.searchsorted(cbase, g_ar, side="right") - 1, 0, n_tiles - 1
+    )
+    colblk = b0[t_of] + (g_ar - cbase[t_of]) * CB
+    colblk = jnp.clip(colblk, 0, (Mp - UC) // _LANE)
+    gtot = cbase[-1:]  # [1] total chunks
 
     # ---- 3. pack sorted stream as [8, Mp] rows -----------------------
     # Row 0: indices as float32 VALUES (exact for idx < 2^24; a bitcast
@@ -190,50 +216,69 @@ def _sorted_scatter(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # blocks [2, n_tiles]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cbase [n_tiles + 1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # colblk [g_max]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gtot [1]
+            pl.BlockSpec(memory_space=pltpu.ANY),  # data [8, Mp]
         ],
         out_specs=pl.BlockSpec(
             (TS, F), lambda t: (t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((E_pad, F), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, UC), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_NSLOT, 8, UC), jnp.float32),
+            pltpu.SemaphoreType.DMA((_NSLOT,)),
         ],
         interpret=interpret,
-    )(blocks, data)
+    )(blocks, cbase, colblk, gtot, data)
     return out[:n_rows]
 
 
-def _tile_kernel(blocks_ref, data_hbm, out_ref, scratch, sems, *, TS, UC, CB, F,
-                 precision, packed):
+def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
+                 out_ref, scratch, sems, *, TS, UC, CB, F, precision, packed):
+    """One table tile; chunk DMAs are pipelined ACROSS tiles.
+
+    Chunks are numbered globally in processing order (cbase/colblk from
+    the host). Every body iteration g prefetches chunk g+_LOOK, so a
+    tile's first chunk is already in flight when its grid step begins —
+    without this, tiles with 1-2 chunks (the common case) stall on DMA
+    latency every step. Slot safety: starts are issued in increasing g
+    (bootstrap 0.._LOOK-1 at t=0, then g+_LOOK at iteration g); at most
+    _LOOK+1 chunks are live, and _NSLOT > _LOOK keeps ids distinct
+    mod _NSLOT.
+    """
     t = pl.program_id(0)
     b0 = blocks_ref[0, t]
     b1 = blocks_ref[1, t]
+    g0 = cbase_ref[t]
     nchunks = pl.cdiv(b1 - b0, CB)
+    G = gtot_ref[0]
 
-    def chunk_dma(k, slot):
-        col0 = (b0 + k * CB) * _LANE
+    def chunk_dma(g):
+        slot = jax.lax.rem(g, _NSLOT)
         return pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(col0, UC)],
+            data_hbm.at[:, pl.ds(colblk_ref[g] * _LANE, UC)],
             scratch.at[slot],
             sems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
+    @pl.when(t == 0)
     def _():
-        chunk_dma(0, 0).start()
+        for d in range(_LOOK):
+            @pl.when(d < G)
+            def _():
+                chunk_dma(d).start()
 
     def body(k, acc):
-        slot = jax.lax.rem(k, 2)
+        g = g0 + k
 
-        @pl.when(k + 1 < nchunks)
+        @pl.when(g + _LOOK < G)
         def _():
-            chunk_dma(k + 1, 1 - slot).start()
+            chunk_dma(g + _LOOK).start()
 
-        chunk_dma(k, slot).wait()
-        rows = scratch[slot]  # [8, UC] f32
+        chunk_dma(g).wait()
+        rows = scratch[jax.lax.rem(g, _NSLOT)]  # [8, UC] f32
         # row 0 carries integer-valued f32 indices (exact below 2^24)
         local = rows[0:1, :].astype(jnp.int32) - t * TS  # [1, UC]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TS, UC), 0)
@@ -336,14 +381,57 @@ def gather_rows_leveled(table: Array, idx: Array) -> Array:
     NOTE on the forward: an ISOLATED gather runs ~25% faster on a flat
     index vector than on shaped [..., L, 8] indices, but explicitly
     flattening here breaks XLA's producer/consumer fusion in the full
-    render graph and loses ~16% end-to-end (measured both ways) — so the
-    shaped gather stays.
+    render graph and loses ~16% end-to-end (measured both ways with
+    trilinear) — so the shaped gather is the default;
+    AVR_TPU_FLAT_GATHER=1 flips it for A/B runs.
     """
+    return _take(table, idx)
+
+
+def _take(table, idx):
+    """table[idx] with a configurable index layout for the TPU gather.
+
+    XLA's TPU gather emitter is latency-bound per row but its per-row
+    cost depends on the index minor dimension (measured: minor-8 ≈ 6.4
+    ns/row, minor-4 ≈ 12.5 ns/row on v5e). For simplex encodings
+    (K = 4 vertices) "pair8"/"pack16" regroup 2/4 points' vertex quads
+    into one minor-8/16 row before the gather and undo it after — the
+    row set is identical, only the emitted loop shape changes.
+    AVR_TPU_GATHER_LAYOUT ∈ {shaped, flat, pair8, pack16} (default
+    pair8 for K=4, shaped otherwise).
+    """
+    layout = os.environ.get("AVR_TPU_GATHER_LAYOUT", "auto")
+    F = table.shape[-1]
+    K = idx.shape[-1]
+    if layout == "auto":
+        # measured on v5e (flagship bench): shaped 16.0k, flat 13.5k,
+        # pair8 16.8k, pack16 17.4k rays/s for K=4
+        layout = "pack16" if K == 4 else "shaped"
+    if layout == "flat":
+        return table[idx.reshape(-1)].reshape(*idx.shape, F)
+    minor = {"pair8": 8, "pack16": 16, "pack32": 32}.get(layout, 0)
+    group = minor // K if (minor and minor % K == 0) else 0
+    if group > 1 and idx.ndim >= 3:
+        lead = idx.shape[:-2]
+        L = idx.shape[-2]
+        N = int(np.prod(lead))
+        if N % group == 0:
+            i2 = (
+                idx.reshape(N // group, group, L, K)
+                .swapaxes(1, 2)
+                .reshape(N // group, L, group * K)
+            )
+            f = table[i2]  # [N/g, L, g*K, F]
+            return (
+                f.reshape(N // group, L, group, K, F)
+                .swapaxes(1, 2)
+                .reshape(*lead, L, K, F)
+            )
     return table[idx]
 
 
 def _gather_lvl_fwd(table, idx):
-    return table[idx], (idx, table.shape, int(table.dtype == jnp.bfloat16))
+    return _take(table, idx), (idx, table.shape, int(table.dtype == jnp.bfloat16))
 
 
 def _gather_lvl_bwd(res, g):

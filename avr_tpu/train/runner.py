@@ -160,16 +160,42 @@ class AVRRunner:
         it = int(self.state.step)
         base_key = self._key
         host_it = it
+        K = max(1, tc.steps_per_call)
+        pending: list = []
         while it < tc.total_iterations:
             for batch in self.train_sampler.epoch():
-                host_it += 1
-                self.state, bundle = self._step_fn(
-                    self.state, self._device_batch(batch), base_key,
-                    jnp.asarray(host_it, jnp.int32),
-                )
-                it = int(self.state.step)
+                if K > 1:
+                    # fold K optimizer steps into one dispatch (lax.scan);
+                    # host_it advances by K, inner steps use it0+k keys.
+                    pending.append(batch)
+                    if len(pending) < K:
+                        continue
+                    stacked = {
+                        k_: np.stack([b[k_] for b in pending])
+                        for k_ in pending[0]
+                    }
+                    pending = []
+                    self.state, bundles = self._step_fn(
+                        self.state, self._device_batch(stacked), base_key,
+                        jnp.asarray(host_it + 1, jnp.int32),
+                    )
+                    host_it += K
+                    # log the group's last inner step
+                    bundle = jax.tree_util.tree_map(lambda x: x[-1], bundles)
+                else:
+                    host_it += 1
+                    self.state, bundle = self._step_fn(
+                        self.state, self._device_batch(batch), base_key,
+                        jnp.asarray(host_it, jnp.int32),
+                    )
+                it_prev, it = it, int(self.state.step)
 
-                if it % tc.log_freq == 0 and self.is_main:
+                # boundary-crossing checks (robust when steps_per_call > 1
+                # advances `it` by more than one per dispatch)
+                def crossed(freq: int) -> bool:
+                    return it // freq > it_prev // freq
+
+                if crossed(tc.log_freq) and self.is_main:
                     b = jax.device_get(bundle)
                     total = float(np.sum([np.asarray(v) for v in b[:8]]))
                     self.writer.scalar("train_loss", total, it)
@@ -181,7 +207,7 @@ class AVRRunner:
                     self.writer.scalar("samples_per_sec", rate, it)
                     self.writer.scalar("learning rate", self._current_lr(it), it)
                     t_last = time.time()
-                if self.memory_check and it % tc.log_freq == 0:
+                if self.memory_check and crossed(tc.log_freq):
                     # instrumented mode (reference/avr_runner_memory_check.py)
                     from avr_tpu.utils import profiling
 
@@ -189,9 +215,9 @@ class AVRRunner:
                     profiling.memory_snapshot(
                         os.path.join(self.logdir, f"memory_snapshot_{it:08d}.json")
                     )
-                if it % tc.save_freq == 0 and it > 0:
+                if crossed(tc.save_freq) and it > 0:
                     self.logger.info("saved checkpoint at step %d", self.save_checkpoint())
-                if it % tc.val_freq == 0 and it > 0:
+                if crossed(tc.val_freq) and it > 0:
                     self.validate(it)
                     # capped train-set eval (reference/avr_runner.py:322-370)
                     self.validate(it, mode_set="train")

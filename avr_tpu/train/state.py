@@ -131,8 +131,8 @@ def make_train_step(
         bundle, _, _ = criterion(pred, batch["wave"], crit)
         return bundle.total, bundle
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array,
-                   it: Optional[jax.Array] = None):
+    def train_step_core(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array,
+                        it: Optional[jax.Array] = None):
         # Fold the iteration counter into the key INSIDE jit — splitting
         # keys eagerly in the host loop costs ~100 ms/step of dispatch on
         # remote backends.
@@ -155,4 +155,26 @@ def make_train_step(
         )
         return state_out, bundle
 
-    return jax.jit(train_step, donate_argnums=(0,)), render
+    K = max(1, int(getattr(tc, "steps_per_call", 1)))
+    if K == 1:
+        return jax.jit(train_step_core, donate_argnums=(0,)), render
+
+    def train_multi_step(state: TrainState, batches: Dict[str, jax.Array],
+                         key: jax.Array, it0: jax.Array):
+        """K optimizer steps in one dispatch via lax.scan.
+
+        batches: the per-step batch dict stacked on a leading [K] axis.
+        Amortizes per-dispatch and program-prologue overhead (~13 ms/step
+        measured on the axon backend, scripts/overhead_probe.py). Returns
+        the loss bundle of every inner step stacked on [K].
+        """
+
+        def body(st, inp):
+            k, batch = inp
+            return train_step_core(st, batch, key, it0 + k)
+
+        return jax.lax.scan(
+            body, state, (jnp.arange(K, dtype=jnp.int32), batches)
+        )
+
+    return jax.jit(train_multi_step, donate_argnums=(0,)), render

@@ -176,3 +176,26 @@ def test_sharded_step_matches_single_device(dataset_dir):
     fs_, _ = jax.tree_util.tree_flatten(jax.device_get(s_shard.params))
     for a, b in zip(fp, fs_):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_steps_per_call_matches_single_step(tmp_path, dataset_dir):
+    """K=2 scan-folded training == two K=1 dispatches (same keys/batches)."""
+    cfg1 = tiny_cfg(str(tmp_path / "l1"))
+    cfg1.train.total_iterations = 4
+    cfg1.train.save_freq = cfg1.train.val_freq = 100  # no val/ckpt noise
+    r1 = AVRRunner(cfg1, dataset_dir)
+    r1.train()
+
+    cfg2 = tiny_cfg(str(tmp_path / "l2"))
+    cfg2.train.total_iterations = 4
+    cfg2.train.save_freq = cfg2.train.val_freq = 100
+    cfg2.train.steps_per_call = 2
+    r2 = AVRRunner(cfg2, dataset_dir)
+    r2.train()
+
+    assert int(r1.state.step) == int(r2.state.step) == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(r1.state.params),
+        jax.tree_util.tree_leaves(r2.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
