@@ -405,11 +405,11 @@ def _take(table, idx):
     K = idx.shape[-1]
     if layout == "auto":
         # measured on v5e (flagship bench): shaped 16.0k, flat 13.5k,
-        # pair8 16.8k, pack16 17.4k rays/s for K=4
-        layout = "pack16" if K == 4 else "shaped"
+        # pair8 16.8k, pack16 18.1k, pack32 18.5k rays/s for K=4
+        layout = "pack32" if K == 4 else "shaped"
     if layout == "flat":
         return table[idx.reshape(-1)].reshape(*idx.shape, F)
-    minor = {"pair8": 8, "pack16": 16, "pack32": 32}.get(layout, 0)
+    minor = {"pair8": 8, "pack16": 16, "pack32": 32, "pack64": 64}.get(layout, 0)
     group = minor // K if (minor and minor % K == 0) else 0
     if group > 1 and idx.ndim >= 3:
         lead = idx.shape[:-2]
