@@ -230,6 +230,14 @@ def init(key: Array, static: FieldStatic) -> Dict:
         p = _enc_init(keys[i], st)
         if p is not None:
             params["enc"][name] = p
+    if _paired_pos(static) and "pos" in params["enc"]:
+        # Same-geometry pos/pos_sig tables are stored as ONE fused
+        # [rows, 2F] parameter: one gather forward, one scatter-add
+        # backward, and no per-step concat/split (the split + layout
+        # copies alone measured ~14 ms/step on the RAF flagship).
+        params["enc"]["pos_pair"] = jnp.concatenate(
+            [params["enc"].pop("pos"), params["enc"].pop("pos_sig")], axis=-1
+        )
     k = len(static.encodings)
     params["sigma_encoder"] = mlp.init(keys[k], static.sigma_encoder)
     params["sigma_decoder"] = mlp.init(keys[k + 1], static.sigma_decoder)
@@ -250,6 +258,12 @@ def init(key: Array, static: FieldStatic) -> Dict:
 def _enc(
     params: Dict, static: FieldStatic, name: str, x01: Array, compute_dtype=None
 ) -> Array:
+    if name in ("pos", "pos_sig") and "pos_pair" in params["enc"]:
+        a, b = hashgrid.encode_pair_fused(
+            params["enc"]["pos_pair"], static.encodings["pos"].grid, x01,
+            compute_dtype=compute_dtype,
+        )
+        return a if name == "pos" else b
     return _enc_apply(
         params["enc"].get(name), static.encodings[name], x01,
         compute_dtype=compute_dtype,
@@ -504,10 +518,16 @@ def point_features(
     """
     if static.variant == "complex" and _paired_pos(static):
         e_pos = static.encodings["pos"]
-        pos_enc, psig_enc = hashgrid.encode_pair(
-            params["enc"]["pos"], params["enc"]["pos_sig"], e_pos.grid, _to01(pts),
-            compute_dtype=compute_dtype,
-        )
+        if "pos_pair" in params["enc"]:
+            pos_enc, psig_enc = hashgrid.encode_pair_fused(
+                params["enc"]["pos_pair"], e_pos.grid, _to01(pts),
+                compute_dtype=compute_dtype,
+            )
+        else:  # legacy param layout (separate tables)
+            pos_enc, psig_enc = hashgrid.encode_pair(
+                params["enc"]["pos"], params["enc"]["pos_sig"], e_pos.grid,
+                _to01(pts), compute_dtype=compute_dtype,
+            )
         tx_pos_enc = _enc(params, static, "tx_pos", _to01(tx))
         tx_pos_enc = jnp.broadcast_to(
             tx_pos_enc, (*pos_enc.shape[:-1], tx_pos_enc.shape[-1])

@@ -52,6 +52,12 @@ class HashGridStatic:
     sizes: Tuple[int, ...]  # table entries per level
     hashed: Tuple[bool, ...]  # True → spatial hash, False → dense index
     total_entries: int
+    # Feature tables are allocated with this many rows: total_entries
+    # rounded up to the scatter kernel's tile granularity, so the table-
+    # gradient kernel writes the full parameter shape directly (a
+    # misaligned out[:total] slice measured 7+ ms/step on the flagship).
+    # Rows >= total_entries are never indexed; their gradients are zero.
+    padded_entries: int = 0
     # "trilinear": 8 cell corners per (point, level); "simplex": Kuhn
     # tetrahedral interpolation, 4 vertices per (point, level) — halves
     # the latency-bound gather row stream fwd AND the scatter-add update
@@ -90,6 +96,7 @@ def build_static(cfg: EncodingConfig) -> HashGridStatic:
         sizes=tuple(sizes),
         hashed=tuple(hashed),
         total_entries=offset,
+        padded_entries=-(-offset // 4096) * 4096,
         interp=(
             "simplex"
             if str(getattr(cfg, "interpolation", "")).lower() == "simplex"
@@ -99,10 +106,15 @@ def build_static(cfg: EncodingConfig) -> HashGridStatic:
 
 
 def init(key: Array, static: HashGridStatic, dtype=jnp.float32) -> Array:
-    """Feature table, uniform in [−1e−4, 1e−4] (instant-ngp init)."""
+    """Feature table, uniform in [−1e−4, 1e−4] (instant-ngp init).
+
+    Allocated with ``padded_entries`` rows (see HashGridStatic); the tail
+    rows are never gathered and receive zero gradient.
+    """
+    n = static.padded_entries or static.total_entries
     return jax.random.uniform(
         key,
-        (static.total_entries, static.n_features),
+        (n, static.n_features),
         dtype=dtype,
         minval=-1e-4,
         maxval=1e-4,
@@ -246,8 +258,23 @@ def encode_pair(
     their corner indices coincide — concatenating the tables feature-wise
     halves the gather rows forward and the scatter-add updates backward.
     Returns (enc_a, enc_b), each [..., L·F].
+
+    Production code should store the two tables pre-fused as one
+    [rows, 2F] parameter and call :func:`encode_pair_fused` — the
+    per-step concat here (and its split + layout copies in the backward)
+    measured ~14 ms/step on the flagship workload.
     """
     fused = jnp.concatenate([table_a, table_b], axis=-1)  # [total, 2F]
+    return encode_pair_fused(fused, static, x, compute_dtype=compute_dtype)
+
+
+def encode_pair_fused(
+    fused: Array,
+    static: HashGridStatic,
+    x: Array,
+    compute_dtype=None,
+) -> Tuple[Array, Array]:
+    """encode_pair for a pre-fused [rows, 2F] table parameter."""
     if compute_dtype is not None and compute_dtype != fused.dtype:
         fused = fused.astype(compute_dtype)  # halves gather bytes (see encode)
     Fh = static.n_features

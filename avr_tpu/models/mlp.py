@@ -19,6 +19,7 @@ stay fp32.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -96,10 +97,51 @@ def init(key: Array, static: MLPStatic, dtype=jnp.float32) -> Params:
 
 
 def _matmul(x: Array, w: Array, compute_dtype) -> Array:
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if compute_dtype is None:
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return _matmul_cd(x, w, jnp.dtype(compute_dtype).name,
+                      (x.dtype.name, w.dtype.name))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _matmul_cd(x: Array, w: Array, compute_dtype, in_dtypes) -> Array:
+    """x @ w in compute_dtype with fp32 accumulation — both directions.
+
+    Without this, the VJP matmuls contract an fp32 cotangent (the primal
+    output dtype under preferred_element_type=f32) against bf16 operands;
+    XLA promotes those to multi-pass fp32 MXU matmuls. Casting the
+    cotangent to the compute dtype keeps the backward on single-pass bf16
+    MXU throughput (fp32 accumulation retained) — gradient-grade rounding,
+    consistent with the bf16 payload the hash-table scatter already uses.
+    """
+    return jnp.dot(
+        x.astype(compute_dtype), w.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _matmul_cd_fwd(x, w, compute_dtype, in_dtypes):
+    xc = x.astype(compute_dtype)
+    wc = w.astype(compute_dtype)
+    out = jnp.dot(xc, wc, preferred_element_type=jnp.float32)
+    return out, (xc, wc)
+
+
+def _matmul_cd_bwd(compute_dtype, in_dtypes, res, g):
+    xc, wc = res
+    x_dtype, w_dtype = in_dtypes
+    gc = g.astype(compute_dtype)
+    dx = jnp.dot(gc, wc.T, preferred_element_type=jnp.float32)
+    nb = xc.ndim - 1  # contract all leading (batch) dims for the w-grad
+    dw = jax.lax.dot_general(
+        xc, gc,
+        dimension_numbers=((tuple(range(nb)), tuple(range(nb))), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dx.astype(x_dtype), dw.astype(w_dtype)
+
+
+_matmul_cd.defvjp(_matmul_cd_fwd, _matmul_cd_bwd)
 
 
 def apply(

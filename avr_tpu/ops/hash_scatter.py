@@ -152,12 +152,19 @@ def _sorted_scatter(
     # ascending table segments), so G independent batched row-sorts
     # (much cheaper than one flat M-element sort) followed by
     # concatenation yield a globally sorted stream.
+    # is_stable=False: a stable sort makes XLA sort an extra iota operand
+    # (~25% more sort traffic); summation order among equal indices is
+    # irrelevant to a scatter-ADD beyond fp32 rounding, which the kernel's
+    # accumulation already owns.
     if idx.ndim == 2:
         ops = (idx,) + tuple(upd[..., j] for j in range(NP))
-        sorted_ops = [o.reshape(-1) for o in jax.lax.sort(ops, dimension=1, num_keys=1)]
+        sorted_ops = [
+            o.reshape(-1)
+            for o in jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=False)
+        ]
     else:
         ops = (idx,) + tuple(upd[:, j] for j in range(NP))
-        sorted_ops = jax.lax.sort(ops, num_keys=1)
+        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
     idx_s = sorted_ops[0]
 
     Mp = (_cdiv(M, UC) + 1) * UC  # padded stream length (see step 3)
@@ -397,8 +404,11 @@ def _take(table, idx):
     (K = 4 vertices) "pair8"/"pack16" regroup 2/4 points' vertex quads
     into one minor-8/16 row before the gather and undo it after — the
     row set is identical, only the emitted loop shape changes.
-    AVR_TPU_GATHER_LAYOUT ∈ {shaped, flat, pair8, pack16} (default
-    pair8 for K=4, shaped otherwise).
+    AVR_TPU_GATHER_LAYOUT ∈ {shaped, flat, merge, pair8, pack16, pack32,
+    pack64} (default pack32 for K=4, shaped otherwise). Measured on the
+    flagship bench: pack32 21.1k > merge 20.1k > pack16 > pair8 > shaped
+    > flat rays/s — per-row latency is NOT monotone in the minor size
+    ("merge" is transpose-free minor-80, yet loses to pack32's minor-32).
     """
     layout = os.environ.get("AVR_TPU_GATHER_LAYOUT", "auto")
     F = table.shape[-1]
@@ -409,6 +419,14 @@ def _take(table, idx):
         layout = "pack32" if K == 4 else "shaped"
     if layout == "flat":
         return table[idx.reshape(-1)].reshape(*idx.shape, F)
+    if layout == "merge" and idx.ndim >= 3:
+        # Merge (L, K) into one minor-L·K index axis: same row set, larger
+        # emitted minor dim, and — unlike the pack* point-grouping layouts —
+        # both reshapes are contiguous-axis merges/splits (free, no
+        # transpose in the forward or the cotangent).
+        L, K = idx.shape[-2], idx.shape[-1]
+        f = table[idx.reshape(*idx.shape[:-2], L * K)]
+        return f.reshape(*idx.shape, F)
     minor = {"pair8": 8, "pack16": 16, "pack32": 32, "pack64": 64}.get(layout, 0)
     group = minor // K if (minor and minor % K == 0) else 0
     if group > 1 and idx.ndim >= 3:

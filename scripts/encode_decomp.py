@@ -27,8 +27,9 @@ def main():
     fst = field_lib.build_field(cfg.model, "RAF")
     params = field_lib.init(jax.random.PRNGKey(0), fst)
     st = fst.encodings["pos"].grid
-    ta, tb = params["enc"]["pos"], params["enc"]["pos_sig"]
-    fused = jnp.concatenate([ta, tb], axis=-1)
+    fused = params["enc"]["pos_pair"]
+    Fh = st.n_features
+    ta, tb = fused[:, :Fh], fused[:, Fh:]
     fused_h = fused.astype(jnp.bfloat16)
     rng = np.random.default_rng(0)
     N = 4 * 650 * 32

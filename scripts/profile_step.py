@@ -73,19 +73,18 @@ def main():
     N = bs * R * S
     st = fst.encodings["pos"].grid
     print(f"N points={N}, levels={st.n_levels}, entries={st.total_entries}", flush=True)
-    ta = params["enc"]["pos"]
-    tb = params["enc"]["pos_sig"]
+    fused = params["enc"]["pos_pair"]
     x = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
 
-    enc_fwd = jax.jit(lambda a, b: hashgrid.encode_pair(a, b, st, x))
-    timeit("encode_pair fwd (N pts)", enc_fwd, ta, tb)
+    enc_fwd = jax.jit(lambda t: hashgrid.encode_pair_fused(t, st, x))
+    timeit("encode_pair fwd (N pts)", enc_fwd, fused)
 
-    def enc_loss(a, b):
-        ea, eb = hashgrid.encode_pair(a, b, st, x)
+    def enc_loss(t):
+        ea, eb = hashgrid.encode_pair_fused(t, st, x)
         return jnp.sum(ea) + jnp.sum(eb)
 
-    enc_bwd = jax.jit(lambda a, b: jax.grad(enc_loss, argnums=(0, 1))(a, b))
-    timeit("encode_pair fwd+bwd (N pts)", enc_bwd, ta, tb)
+    enc_bwd = jax.jit(jax.grad(enc_loss))
+    timeit("encode_pair fwd+bwd (N pts)", enc_bwd, fused)
 
     # ---- isolated sort / scatter at update scale --------------------
     M = N * st.n_levels * 8
