@@ -223,6 +223,97 @@ def _indices_weights(static: HashGridStatic, x: Array) -> Tuple[Array, Array]:
     return _flat_indices(static, coords), w
 
 
+def _flat_indices_lm(static: HashGridStatic, coords: Array) -> Array:
+    """Level-major _flat_indices: coords [L, N, K, 3] → idx [L, N, K]."""
+    def pl(a):  # per-level constant, broadcast over the trailing dims
+        return a.reshape((a.shape[0], 1, 1))
+
+    res = pl(jnp.asarray(static.resolutions, dtype=jnp.int32))
+    sizes = pl(jnp.asarray(static.sizes, dtype=jnp.uint32))
+    offsets = pl(jnp.asarray(static.offsets, dtype=jnp.int32))
+    use_hash = pl(jnp.asarray(static.hashed, dtype=bool))
+
+    coords = jnp.minimum(coords, res[..., None])
+    stride = res + 1
+    dense = (
+        coords[..., 0]
+        + coords[..., 1] * stride
+        + coords[..., 2] * stride * stride
+    )
+    cu = coords.astype(jnp.uint32)
+    h = (cu[..., 0] * _PRIMES[0]) ^ (cu[..., 1] * _PRIMES[1]) ^ (
+        cu[..., 2] * _PRIMES[2]
+    )
+    hashed_idx = (h & (sizes - 1)).astype(jnp.int32)
+    return jnp.where(use_hash, hashed_idx, dense) + offsets
+
+
+def _indices_weights_lm(static: HashGridStatic, x: Array) -> Tuple[Array, Array]:
+    """Level-major twin of _indices_weights.
+
+    x [N, 3] in [0,1]³ → (idx [L, N, K], w [L, N, K]). Generating the
+    level axis LEADING makes every regrouping the TPU path needs a free
+    contiguous reshape instead of a transpose: gather rows pack as
+    [L, N/g, g·K], the backward's per-level sort stream is idx.reshape
+    (L, −1), and the K-contraction happens in place (see encode).
+    """
+    x = jnp.clip(x, 0.0, 1.0)
+    res = jnp.asarray(static.resolutions, dtype=x.dtype)  # [L]
+    scaled = x[None, :, :] * res[:, None, None]  # [L, N, 3]
+    pos0 = jnp.floor(scaled).astype(jnp.int32)
+    pos0 = jnp.minimum(
+        pos0, jnp.asarray(static.resolutions, jnp.int32)[:, None, None] - 1
+    )
+    pos0 = jnp.maximum(pos0, 0)
+    frac = scaled - pos0.astype(x.dtype)  # [L, N, 3]
+
+    if static.interp == "simplex":
+        coords, w = _simplex(pos0, frac)  # [L, N, K, 3], [L, N, K]
+    else:
+        coords, w = _trilinear(pos0, frac)
+    return _flat_indices_lm(static, coords), w
+
+
+def _encode_lm(table: Array, static: HashGridStatic, x: Array) -> Array:
+    """Level-major encode core: x [..., 3] → [N, L, F_table].
+
+    Every regrouping is a contiguous reshape (no transposes except the
+    single final [L,N,F] → [N,L,F] move, 4–8× smaller than transposing
+    the gathered corner features): gather rows pack as [L, N/g, g·K] for
+    a minor-32 emitted loop, the K-contraction reshapes in place, and the
+    backward's per-level sort stream is idx.reshape(L, −1). Level-major
+    also walks each table segment consecutively during the gather.
+    """
+    lead = x.shape[:-1]
+    N = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(N, 3)
+    idx, w = _indices_weights_lm(static, xf)  # [L, N, K]
+    L, K = static.n_levels, static.n_corners
+    F = table.shape[-1]
+    g = 32 // K if (32 % K == 0 and N % max(1, 32 // K) == 0) else 1
+    feats = hash_scatter.gather_rows_lmajor(
+        table, idx.reshape(L, N // g, g * K)
+    )  # [L, N/g, g*K, F]
+    # With a low-precision table (the bf16 production path) the whole
+    # interpolation runs in that dtype: the consumers are bf16 matmuls
+    # anyway, the K=4/8-term sums lose <1 ulp-of-bf16, and the cotangent
+    # of `feats` is BORN bf16 — a separate f32→bf16 convert of the
+    # [L, M, F] cotangent (awkward minor-4 layout) measured 7.4 ms/step,
+    # and every interp intermediate halves its bytes. fp32 tables (the
+    # parity/oracle path) keep exact fp32 interpolation.
+    w = w.astype(table.dtype)
+    prod = feats * w.reshape(L, N // g, g * K)[..., None]
+    out = prod.reshape(L, N // g, g, K, F).sum(axis=3).reshape(L, N, F)
+    return jnp.moveaxis(out, 0, 1)  # [N, L, F]
+
+
+def _use_lm() -> bool:
+    import os
+
+    # measured on the flagship bench: level 21,443 / point 21,095 rays/s
+    return os.environ.get("AVR_TPU_ENCODE_LAYOUT", "level") == "level"
+
+
 def encode(
     table: Array, static: HashGridStatic, x: Array, compute_dtype=None
 ) -> Array:
@@ -236,6 +327,9 @@ def encode(
     """
     if compute_dtype is not None and compute_dtype != table.dtype:
         table = table.astype(compute_dtype)
+    if _use_lm():
+        out = _encode_lm(table, static, x)
+        return out.reshape(*x.shape[:-1], static.n_levels * static.n_features)
     idx, w = _indices_weights(static, x)  # [..., L, K] each
     # gather with TPU-native scatter-add backward (avr_tpu/ops/hash_scatter)
     feats = hash_scatter.gather_rows_leveled(table, idx)  # [..., L, K, F]
@@ -278,11 +372,18 @@ def encode_pair_fused(
     if compute_dtype is not None and compute_dtype != fused.dtype:
         fused = fused.astype(compute_dtype)  # halves gather bytes (see encode)
     Fh = static.n_features
+    lead = x.shape[:-1]
+
+    if _use_lm():
+        out = _encode_lm(fused, static, x)  # [N, L, 2F]
+        return (
+            out[..., :Fh].reshape(*lead, static.n_levels * Fh),
+            out[..., Fh:].reshape(*lead, static.n_levels * Fh),
+        )
 
     idx, w = _indices_weights(static, x)  # [..., L, K] each
     feats = hash_scatter.gather_rows_leveled(fused, idx)  # [..., L, K, 2F]
     out = jnp.sum(feats * w[..., None], axis=-2)  # [..., L, 2F]
-    lead = x.shape[:-1]
     return (
         out[..., :Fh].reshape(*lead, static.n_levels * Fh),
         out[..., Fh:].reshape(*lead, static.n_levels * Fh),

@@ -475,3 +475,45 @@ def _gather_lvl_bwd(res, g):
 
 
 gather_rows_leveled.defvjp(_gather_lvl_fwd, _gather_lvl_bwd)
+
+
+@jax.custom_vjp
+def gather_rows_lmajor(table: Array, idx: Array) -> Array:
+    """table[idx] for LEVEL-MAJOR hash-grid indices idx [L, ...].
+
+    Same contract as gather_rows_leveled but with the level axis leading,
+    so the backward's per-level regrouping (idx.reshape(L, −1)) is a free
+    contiguous reshape instead of a moveaxis transpose of the cotangent
+    stream. Callers choose the gather's emitted minor dim by shaping the
+    trailing idx axes (e.g. [L, N/g, g·K]).
+    """
+    return table[idx]
+
+
+def _gather_lmaj_fwd(table, idx):
+    return table[idx], (idx, table.shape, int(table.dtype == jnp.bfloat16))
+
+
+def _gather_lmaj_bwd(res, g):
+    idx, (E, F), is_bf16 = res
+    L = idx.shape[0]
+    M = int(np.prod(idx.shape)) // L
+    if L * M < _SORTED_MIN_ROWS:
+        d = scatter_add_rows(
+            idx.reshape(-1), g.reshape(-1, F).astype(jnp.float32), E, impl="xla"
+        ).astype(g.dtype)
+    else:
+        # bf16 forward → pass the bf16 cotangent straight to the bf16
+        # payload packer (no f32 round-trip; sums still accumulate fp32
+        # on the MXU).
+        payload = "bf16" if is_bf16 else None
+        g2 = g.reshape(L, M, F)
+        if not (is_bf16 and F % 2 == 0):  # packed path needs even F
+            g2 = g2.astype(jnp.float32)
+        d = scatter_add_rows(idx.reshape(L, M), g2, E, payload=payload).astype(
+            g.dtype
+        )
+    return d, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+gather_rows_lmajor.defvjp(_gather_lmaj_fwd, _gather_lmaj_bwd)

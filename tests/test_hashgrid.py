@@ -220,3 +220,51 @@ def test_frequency_encoding_shape():
     x = jnp.asarray([[0.1, 0.5, 0.9]], jnp.float32)
     enc = hashgrid.frequency_encode(x, 4)
     assert enc.shape == (1, 24)
+
+
+def test_level_major_matches_point_major_all_paths(rng, monkeypatch):
+    """Bit-exact equality of the two encode layouts, incl. grads and the
+    g=1 fallback for point counts not divisible by the gather group."""
+    for interp in ("trilinear", "simplex"):
+        cfg = EncodingConfig(
+            n_levels=5, n_features_per_level=2, log2_hashmap_size=11,
+            base_resolution=4, per_level_scale=1.6, interpolation=interp,
+        )
+        static = hashgrid.build_static(cfg)
+        table = jnp.asarray(
+            rng.normal(size=(static.padded_entries, 2)), jnp.float32
+        )
+        for n in (64, 37):  # 37: not divisible by the group size → g=1
+            x = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+
+            def run(layout):
+                monkeypatch.setenv("AVR_TPU_ENCODE_LAYOUT", layout)
+                e = hashgrid.encode(table, static, x)
+                g = jax.grad(
+                    lambda t: jnp.sum(jnp.cos(hashgrid.encode(t, static, x)))
+                )(table)
+                return np.asarray(e), np.asarray(g)
+
+            e_p, g_p = run("point")
+            e_l, g_l = run("level")
+            np.testing.assert_array_equal(e_p, e_l)
+            np.testing.assert_allclose(g_p, g_l, rtol=0, atol=1e-6)
+
+
+def test_level_major_bf16_interp_close_to_fp32(rng, monkeypatch):
+    """bf16 interpolation arithmetic (production path) stays within
+    bf16-grade tolerance of exact fp32 interpolation."""
+    monkeypatch.setenv("AVR_TPU_ENCODE_LAYOUT", "level")
+    cfg = EncodingConfig(
+        n_levels=4, n_features_per_level=2, log2_hashmap_size=10,
+        base_resolution=4, per_level_scale=1.7,
+    )
+    static = hashgrid.build_static(cfg)
+    table = jnp.asarray(rng.normal(size=(static.padded_entries, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (48, 3)), jnp.float32)
+    exact = np.asarray(hashgrid.encode(table, static, x), np.float64)
+    approx = np.asarray(
+        hashgrid.encode(table, static, x, compute_dtype=jnp.bfloat16), np.float64
+    )
+    scale = np.abs(exact).max()
+    assert np.abs(exact - approx).max() < 2e-2 * scale
