@@ -24,6 +24,7 @@ Out-of-range inputs are clamped.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -274,7 +275,9 @@ def _indices_weights_lm(static: HashGridStatic, x: Array) -> Tuple[Array, Array]
     return _flat_indices_lm(static, coords), w
 
 
-def _encode_lm(table: Array, static: HashGridStatic, x: Array) -> Array:
+def _encode_lm(
+    table: Array, static: HashGridStatic, x: Array, cast: str = None
+) -> Array:
     """Level-major encode core: x [..., 3] → [N, L, F_table].
 
     Every regrouping is a contiguous reshape (no transposes except the
@@ -291,25 +294,30 @@ def _encode_lm(table: Array, static: HashGridStatic, x: Array) -> Array:
     L, K = static.n_levels, static.n_corners
     F = table.shape[-1]
     g = 32 // K if (32 % K == 0 and N % max(1, 32 // K) == 0) else 1
+    # The cast-to-compute-dtype happens INSIDE the gather op so the
+    # backward returns the fp32 scatter output directly (see
+    # gather_rows_lmajor).
     feats = hash_scatter.gather_rows_lmajor(
-        table, idx.reshape(L, N // g, g * K)
+        table, idx.reshape(L, N // g, g * K), cast
     )  # [L, N/g, g*K, F]
-    # With a low-precision table (the bf16 production path) the whole
-    # interpolation runs in that dtype: the consumers are bf16 matmuls
-    # anyway, the K=4/8-term sums lose <1 ulp-of-bf16, and the cotangent
-    # of `feats` is BORN bf16 — a separate f32→bf16 convert of the
-    # [L, M, F] cotangent (awkward minor-4 layout) measured 7.4 ms/step,
-    # and every interp intermediate halves its bytes. fp32 tables (the
-    # parity/oracle path) keep exact fp32 interpolation.
-    w = w.astype(table.dtype)
+    # With a bf16 table the weight multiply + K-sum default to bf16
+    # (~2-3 ms/step: interp intermediates halve their bytes and the feats
+    # cotangent is born bf16). Training-quality A/B over two seeds
+    # (scripts/interp_prec_quality.py, 1500 iters): the bf16-vs-fp32
+    # metric differences flip sign between seeds — seed noise dominates,
+    # no systematic loss. AVR_TPU_INTERP_DTYPE=float32 forces exact
+    # interpolation; fp32 tables (oracle/parity) always use it.
+    idt = os.environ.get("AVR_TPU_INTERP_DTYPE", "bfloat16")
+    if idt == "bfloat16" and feats.dtype == jnp.bfloat16:
+        w = w.astype(feats.dtype)
+    else:
+        feats = feats.astype(w.dtype)
     prod = feats * w.reshape(L, N // g, g * K)[..., None]
     out = prod.reshape(L, N // g, g, K, F).sum(axis=3).reshape(L, N, F)
     return jnp.moveaxis(out, 0, 1)  # [N, L, F]
 
 
 def _use_lm() -> bool:
-    import os
-
     # measured on the flagship bench: level 21,443 / point 21,095 rays/s
     return os.environ.get("AVR_TPU_ENCODE_LAYOUT", "level") == "level"
 
@@ -325,11 +333,16 @@ def encode(
     ~2.4x faster than 32-byte rows, measured), and the consumers are bf16
     matmuls anyway; interpolation still accumulates in fp32.
     """
+    if _use_lm():
+        cast = (
+            jnp.dtype(compute_dtype).name
+            if compute_dtype is not None and compute_dtype != table.dtype
+            else None
+        )
+        out = _encode_lm(table, static, x, cast)
+        return out.reshape(*x.shape[:-1], static.n_levels * static.n_features)
     if compute_dtype is not None and compute_dtype != table.dtype:
         table = table.astype(compute_dtype)
-    if _use_lm():
-        out = _encode_lm(table, static, x)
-        return out.reshape(*x.shape[:-1], static.n_levels * static.n_features)
     idx, w = _indices_weights(static, x)  # [..., L, K] each
     # gather with TPU-native scatter-add backward (avr_tpu/ops/hash_scatter)
     feats = hash_scatter.gather_rows_leveled(table, idx)  # [..., L, K, F]
@@ -369,17 +382,22 @@ def encode_pair_fused(
     compute_dtype=None,
 ) -> Tuple[Array, Array]:
     """encode_pair for a pre-fused [rows, 2F] table parameter."""
-    if compute_dtype is not None and compute_dtype != fused.dtype:
-        fused = fused.astype(compute_dtype)  # halves gather bytes (see encode)
     Fh = static.n_features
     lead = x.shape[:-1]
 
     if _use_lm():
-        out = _encode_lm(fused, static, x)  # [N, L, 2F]
+        cast = (
+            jnp.dtype(compute_dtype).name
+            if compute_dtype is not None and compute_dtype != fused.dtype
+            else None
+        )
+        out = _encode_lm(fused, static, x, cast)  # [N, L, 2F]
         return (
             out[..., :Fh].reshape(*lead, static.n_levels * Fh),
             out[..., Fh:].reshape(*lead, static.n_levels * Fh),
         )
+    if compute_dtype is not None and compute_dtype != fused.dtype:
+        fused = fused.astype(compute_dtype)  # halves gather bytes (see encode)
 
     idx, w = _indices_weights(static, x)  # [..., L, K] each
     feats = hash_scatter.gather_rows_leveled(fused, idx)  # [..., L, K, 2F]

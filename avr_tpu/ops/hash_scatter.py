@@ -477,8 +477,8 @@ def _gather_lvl_bwd(res, g):
 gather_rows_leveled.defvjp(_gather_lvl_fwd, _gather_lvl_bwd)
 
 
-@jax.custom_vjp
-def gather_rows_lmajor(table: Array, idx: Array) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_lmajor(table: Array, idx: Array, cast: Optional[str] = None) -> Array:
     """table[idx] for LEVEL-MAJOR hash-grid indices idx [L, ...].
 
     Same contract as gather_rows_leveled but with the level axis leading,
@@ -486,32 +486,47 @@ def gather_rows_lmajor(table: Array, idx: Array) -> Array:
     contiguous reshape instead of a moveaxis transpose of the cotangent
     stream. Callers choose the gather's emitted minor dim by shaping the
     trailing idx axes (e.g. [L, N/g, g·K]).
+
+    ``cast`` (a dtype name, e.g. "bfloat16") converts the table INSIDE
+    this op before gathering. Casting here instead of at the caller means
+    the backward hands the fp32 scatter-kernel output straight to the
+    fp32 parameter — an outer ``table.astype(bf16)`` forces the 19 MB
+    table cotangent through a bf16 round-trip in an awkward minor-4
+    layout (measured 7.4 ms/step on the flagship).
     """
-    return table[idx]
+    t = table.astype(cast) if cast is not None else table
+    return t[idx]
 
 
-def _gather_lmaj_fwd(table, idx):
-    return table[idx], (idx, table.shape, int(table.dtype == jnp.bfloat16))
+def _gather_lmaj_fwd(table, idx, cast):
+    t = table.astype(cast) if cast is not None else table
+    return (
+        t[idx],
+        (idx, table.shape, int(t.dtype == jnp.bfloat16),
+         int(table.dtype == jnp.bfloat16)),
+    )
 
 
-def _gather_lmaj_bwd(res, g):
-    idx, (E, F), is_bf16 = res
+def _gather_lmaj_bwd(cast, res, g):
+    idx, (E, F), is_bf16, table_bf16 = res
+    out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
     L = idx.shape[0]
     M = int(np.prod(idx.shape)) // L
     if L * M < _SORTED_MIN_ROWS:
         d = scatter_add_rows(
             idx.reshape(-1), g.reshape(-1, F).astype(jnp.float32), E, impl="xla"
-        ).astype(g.dtype)
+        ).astype(out_dtype)
     else:
         # bf16 forward → pass the bf16 cotangent straight to the bf16
         # payload packer (no f32 round-trip; sums still accumulate fp32
-        # on the MXU).
+        # on the MXU). The scatter output is fp32 and goes straight to
+        # the table's dtype (fp32 params: no conversion at all).
         payload = "bf16" if is_bf16 else None
         g2 = g.reshape(L, M, F)
         if not (is_bf16 and F % 2 == 0):  # packed path needs even F
             g2 = g2.astype(jnp.float32)
         d = scatter_add_rows(idx.reshape(L, M), g2, E, payload=payload).astype(
-            g.dtype
+            out_dtype
         )
     return d, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
 

@@ -48,6 +48,9 @@ def main():
         ("C=2 remat", 2, True, jnp.bfloat16),
         ("C=4 remat", 4, True, jnp.bfloat16),
         ("C=8 remat", 8, True, jnp.bfloat16),
+        ("C=16 remat", 16, True, jnp.bfloat16),
+        ("C=32 remat", 32, True, jnp.bfloat16),
+        ("C=16 norem", 16, False, jnp.bfloat16),
         ("C=1 norem", 1, False, jnp.bfloat16),
         ("C=4 norem", 4, False, jnp.bfloat16),
         ("C=4 remat f32", 4, True, None),
