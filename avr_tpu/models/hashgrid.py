@@ -275,6 +275,118 @@ def _indices_weights_lm(static: HashGridStatic, x: Array) -> Tuple[Array, Array]
     return _flat_indices_lm(static, coords), w
 
 
+def _indices_weights_klm(
+    static: HashGridStatic, x: Array
+) -> Tuple[Array, Array]:
+    """Vertex-major twin of _indices_weights_lm: [L, K, N] layouts.
+
+    x [N, 3] in [0,1]³ → (idx [L, K, N] int32, w [L, K, N]). Compared to
+    the [L, N, K] layout, putting the vertex axis SECOND and the point
+    axis minor means (a) the interpolation's K-contraction is a planar
+    sum over contiguous [N]-major slabs (the [L, N, K] layout made XLA
+    transpose the 106 MB gathered-feature tensor to bring K forward —
+    4.8 ms/step on the flagship), (b) every elementwise op in the index
+    math runs on [L, N] planes (full-bandwidth layouts; the coords-minor
+    [..., 3] and weights-minor [..., K] arrays of the other layouts run
+    at 5-30 GB/s on v5e), and (c) the backward sort stream is still the
+    free contiguous reshape idx.reshape(L, K·N).
+    """
+    x = jnp.clip(x, 0.0, 1.0)
+    dt = x.dtype
+    res_f = jnp.asarray(static.resolutions, dtype=dt)[:, None]  # [L, 1]
+    res_i = jnp.asarray(static.resolutions, jnp.int32)[:, None]
+    pos0, frac = [], []
+    for a in range(3):  # structure-of-arrays: one [L, N] plane per axis
+        s = x[None, :, a] * res_f
+        p = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, res_i - 1)
+        pos0.append(p)
+        frac.append(s - p.astype(dt))
+    px, py, pz = pos0
+    fx, fy, fz = frac
+
+    sizes_u = jnp.asarray(static.sizes, jnp.uint32)[:, None]
+    offs = jnp.asarray(static.offsets, jnp.int32)[:, None]
+    use_hash = jnp.asarray(static.hashed, dtype=bool)[:, None]
+    stride = res_i + 1
+
+    def flat(cx, cy, cz):  # [L, N] coords → [L, N] flat table index
+        cx = jnp.minimum(cx, res_i)
+        cy = jnp.minimum(cy, res_i)
+        cz = jnp.minimum(cz, res_i)
+        dense = cx + cy * stride + cz * stride * stride
+        h = (
+            (cx.astype(jnp.uint32) * _PRIMES[0])
+            ^ (cy.astype(jnp.uint32) * _PRIMES[1])
+            ^ (cz.astype(jnp.uint32) * _PRIMES[2])
+        )
+        hashed_idx = (h & (sizes_u - 1)).astype(jnp.int32)
+        return jnp.where(use_hash, hashed_idx, dense) + offs
+
+    if static.interp == "simplex":
+        # Descending rank of each axis' frac, ties broken by axis index —
+        # identical to _simplex's gt matrix, unrolled per axis.
+        rx = (fy > fx).astype(jnp.int32) + (fz > fx).astype(jnp.int32)
+        ry = (fx >= fy).astype(jnp.int32) + (fz > fy).astype(jnp.int32)
+        rz = (fx >= fz).astype(jnp.int32) + (fy >= fz).astype(jnp.int32)
+        idx = jnp.stack(
+            [
+                flat(px + (rx < k), py + (ry < k), pz + (rz < k))
+                for k in range(4)
+            ],
+            axis=1,
+        )  # [L, 4, N]
+        s1 = jnp.maximum(fx, jnp.maximum(fy, fz))
+        s3 = jnp.minimum(fx, jnp.minimum(fy, fz))
+        s2 = fx + fy + fz - s1 - s3
+        w = jnp.stack([1.0 - s1, s1 - s2, s2 - s3, s3], axis=1)
+    else:
+        idx_c, w_c = [], []
+        for c in range(8):  # corner bit d = (c >> d) & 1, as in _trilinear
+            bx, by, bz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+            idx_c.append(flat(px + bx, py + by, pz + bz))
+            w_c.append(
+                (fx if bx else 1.0 - fx)
+                * (fy if by else 1.0 - fy)
+                * (fz if bz else 1.0 - fz)
+            )
+        idx = jnp.stack(idx_c, axis=1)  # [L, 8, N]
+        w = jnp.stack(w_c, axis=1)
+    return idx, w
+
+
+def _encode_klm(
+    table: Array, static: HashGridStatic, x: Array, cast: str = None
+) -> Array:
+    """Vertex-major encode core: x [..., 3] → [N, L, F_table].
+
+    Gather rows are shaped [L, K·N/m, m] (minor-m emitted loop, default
+    m=32 like pack32, but grouping m same-vertex points instead of
+    transposing g points × K vertices — the reshape is free), the
+    K-contraction sums K contiguous [N, F] slabs per level, and the
+    backward sort stream is idx.reshape(L, K·N).
+    """
+    lead = x.shape[:-1]
+    N = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(N, 3)
+    L, K = static.n_levels, static.n_corners
+    F = table.shape[-1]
+    m = int(os.environ.get("AVR_TPU_KLM_MINOR", "32"))
+    if N % m:
+        return _encode_lm(table, static, x, cast)
+    idx, w = _indices_weights_klm(static, xf)  # [L, K, N]
+    feats = hash_scatter.gather_rows_lmajor(
+        table, idx.reshape(L, K * N // m, m), cast
+    )  # [L, K·N/m, m, F]
+    idt = os.environ.get("AVR_TPU_INTERP_DTYPE", "bfloat16")
+    if idt == "bfloat16" and feats.dtype == jnp.bfloat16:
+        w = w.astype(feats.dtype)
+    else:
+        feats = feats.astype(w.dtype)
+    prod = feats.reshape(L, K, N, F) * w[..., None]
+    out = prod.sum(axis=1)  # [L, N, F] — planar sum, no relayout
+    return jnp.moveaxis(out, 0, 1)  # [N, L, F]
+
+
 def _encode_lm(
     table: Array, static: HashGridStatic, x: Array, cast: str = None
 ) -> Array:
@@ -317,9 +429,11 @@ def _encode_lm(
     return jnp.moveaxis(out, 0, 1)  # [N, L, F]
 
 
-def _use_lm() -> bool:
-    # measured on the flagship bench: level 21,443 / point 21,095 rays/s
-    return os.environ.get("AVR_TPU_ENCODE_LAYOUT", "level") == "level"
+def _enc_layout() -> str:
+    # measured on the flagship bench: klm 26.8k / level 24.4k / point
+    # 21.1k rays/s ("klm" = level-major with the vertex axis second and
+    # points minor; "level" = [L, N, K]; "point" = the original [..., L, K])
+    return os.environ.get("AVR_TPU_ENCODE_LAYOUT", "klm")
 
 
 def encode(
@@ -333,13 +447,15 @@ def encode(
     ~2.4x faster than 32-byte rows, measured), and the consumers are bf16
     matmuls anyway; interpolation still accumulates in fp32.
     """
-    if _use_lm():
+    layout = _enc_layout()
+    if layout in ("klm", "level"):
         cast = (
             jnp.dtype(compute_dtype).name
             if compute_dtype is not None and compute_dtype != table.dtype
             else None
         )
-        out = _encode_lm(table, static, x, cast)
+        core = _encode_klm if layout == "klm" else _encode_lm
+        out = core(table, static, x, cast)
         return out.reshape(*x.shape[:-1], static.n_levels * static.n_features)
     if compute_dtype is not None and compute_dtype != table.dtype:
         table = table.astype(compute_dtype)
@@ -385,13 +501,15 @@ def encode_pair_fused(
     Fh = static.n_features
     lead = x.shape[:-1]
 
-    if _use_lm():
+    layout = _enc_layout()
+    if layout in ("klm", "level"):
         cast = (
             jnp.dtype(compute_dtype).name
             if compute_dtype is not None and compute_dtype != fused.dtype
             else None
         )
-        out = _encode_lm(fused, static, x, cast)  # [N, L, 2F]
+        core = _encode_klm if layout == "klm" else _encode_lm
+        out = core(fused, static, x, cast)  # [N, L, 2F]
         return (
             out[..., :Fh].reshape(*lead, static.n_levels * Fh),
             out[..., Fh:].reshape(*lead, static.n_levels * Fh),

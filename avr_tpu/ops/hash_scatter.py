@@ -215,10 +215,28 @@ def _sorted_scatter(
         [jnp.stack(rows), jnp.zeros((8 - 1 - NP, Mp), jnp.float32)]
     )  # [8, Mp]
 
+    # Transposed output: the kernel emits [SL(=F padded to 8), E_pad]
+    # feature-major so the caller's final transpose back to [E_pad, F] is
+    # a layout BITCAST into a feature-major table layout. Only useful when
+    # XLA lays the table out entry-minor ({0,1}): that was the case with
+    # the [L, N, K] encode layout (the row-major kernel output then paid a
+    # 3.4 ms/step minor-4 transpose copy; tout=1 measured +7 ms/step
+    # there), but under the default klm encode layout XLA keeps the table
+    # row-major and tout only adds work (measured −6.5 ms/step). Default
+    # off; AVR_TPU_SCATTER_TOUT=1 for feature-major-table graphs.
+    tout = os.environ.get("AVR_TPU_SCATTER_TOUT", "0") == "1"
+    SL = -(-F // 8) * 8
+
     kernel = functools.partial(
         _tile_kernel, TS=TS, UC=UC, CB=CB, F=F, precision=precision,
-        packed=packed,
+        packed=packed, SL=(SL if tout else 0),
     )
+    if tout:
+        out_specs = pl.BlockSpec((SL, TS), lambda t: (0, t), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((SL, E_pad), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((TS, F), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((E_pad, F), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -229,21 +247,22 @@ def _sorted_scatter(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gtot [1]
             pl.BlockSpec(memory_space=pltpu.ANY),  # data [8, Mp]
         ],
-        out_specs=pl.BlockSpec(
-            (TS, F), lambda t: (t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((E_pad, F), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((_NSLOT, 8, UC), jnp.float32),
             pltpu.SemaphoreType.DMA((_NSLOT,)),
         ],
         interpret=interpret,
     )(blocks, cbase, colblk, gtot, data)
+    if tout:
+        return out[:F, :n_rows].T
     return out[:n_rows]
 
 
 def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
-                 out_ref, scratch, sems, *, TS, UC, CB, F, precision, packed):
+                 out_ref, scratch, sems, *, TS, UC, CB, F, precision, packed,
+                 SL=0):
     """One table tile; chunk DMAs are pipelined ACROSS tiles.
 
     Chunks are numbered globally in processing order (cbase/colblk from
@@ -277,6 +296,26 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
             def _():
                 chunk_dma(d).start()
 
+    # SL > 0 → transposed accumulate: acc is [SL, TS] feature-major (u
+    # rows padded to SL sublanes) so the kernel output transposes back to
+    # the table layout as a bitcast. SL == 0 → original [TS, F] layout.
+    contract = (((1,), (1,)), ((), ()))
+
+    def _acc(acc, a, b):
+        """acc += a·bᵀ along UC, in whichever orientation acc uses."""
+        lhs, rhs = (a, b) if SL else (b, a)
+        return acc + jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=contract,
+            preferred_element_type=jnp.float32,
+        )
+
+    def _pad_sl(u):
+        if SL and SL != u.shape[0]:
+            return jnp.concatenate(
+                [u, jnp.zeros((SL - u.shape[0], UC), u.dtype)], axis=0
+            )
+        return u
+
     def body(k, acc):
         g = g0 + k
 
@@ -290,49 +329,29 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
         local = rows[0:1, :].astype(jnp.int32) - t * TS  # [1, UC]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TS, UC), 0)
         onehot = (lanes == local).astype(jnp.bfloat16)  # [TS, UC]
-        contract = (((1,), (1,)), ((), ()))
         if packed:
             # unpack bf16 pairs: low half -> u_j, high half -> u_{j+F/2}
             bits = pltpu.bitcast(rows[1 : 1 + F // 2, :], jnp.uint32)
             lo = pltpu.bitcast(bits << 16, jnp.float32)
             hi = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
             u = jnp.concatenate([lo, hi], axis=0)  # [F, UC], bf16-valued
-            return acc + jax.lax.dot_general(
-                onehot, u.astype(jnp.bfloat16),
-                dimension_numbers=contract,
-                preferred_element_type=jnp.float32,
-            )
+            return _acc(acc, _pad_sl(u.astype(jnp.bfloat16)), onehot)
         u = rows[1 : 1 + F, :]  # [F, UC]
         if precision == "f32":
-            acc = acc + jax.lax.dot_general(
-                onehot.astype(jnp.float32), u,
-                dimension_numbers=contract,
-                preferred_element_type=jnp.float32,
-            )
+            acc = _acc(acc, _pad_sl(u), onehot.astype(jnp.float32))
         else:
             hi = u.astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot_general(
-                onehot, hi,
-                dimension_numbers=contract,
-                preferred_element_type=jnp.float32,
-            )
+            acc = _acc(acc, _pad_sl(hi), onehot)
             lo = (u - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot_general(
-                onehot, lo,
-                dimension_numbers=contract,
-                preferred_element_type=jnp.float32,
-            )
+            acc = _acc(acc, _pad_sl(lo), onehot)
             if precision == "bf16x3":
                 rem = u - hi.astype(jnp.float32) - lo.astype(jnp.float32)
-                acc = acc + jax.lax.dot_general(
-                    onehot, rem.astype(jnp.bfloat16),
-                    dimension_numbers=contract,
-                    preferred_element_type=jnp.float32,
-                )
+                acc = _acc(acc, _pad_sl(rem.astype(jnp.bfloat16)), onehot)
         return acc
 
     acc = jax.lax.fori_loop(
-        0, nchunks, body, jnp.zeros((TS, F), jnp.float32)
+        0, nchunks, body,
+        jnp.zeros((SL, TS) if SL else (TS, F), jnp.float32),
     )
     out_ref[:] = acc
 

@@ -28,6 +28,7 @@ accumulation; masks, compositing and FFT stay fp32.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -40,6 +41,48 @@ from avr_tpu.models import field as field_lib
 from avr_tpu.render.common import RenderConsts, compositing_weights, head_delay_mask
 
 Array = jax.Array
+
+
+@jax.custom_vjp
+def _ray_contract(w: Array, masked: Array) -> Array:
+    """Spherical pre-reduction y[b,c,t] = Σ_r w[b,r,c]·masked[b,r,c,t].
+
+    ``masked`` arrives in the signal compute dtype (bf16 on the hot path —
+    the [bs,R,C,T] signal tensor is the biggest bandwidth stream of the
+    render, and its masks are exact 0/1 in bf16). The custom VJP keeps both
+    directions on single-pass bf16 MXU matmuls with fp32 accumulation; the
+    default AD rule would contract the fp32 output cotangent against bf16
+    operands, which XLA promotes to multi-pass fp32 matmuls.
+    """
+    return jax.lax.dot_general(
+        w.astype(masked.dtype), masked,
+        dimension_numbers=(((1,), (1,)), ((0, 2), (0, 2))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ray_contract_fwd(w, masked):
+    y = jax.lax.dot_general(
+        w.astype(masked.dtype), masked,
+        dimension_numbers=(((1,), (1,)), ((0, 2), (0, 2))),
+        preferred_element_type=jnp.float32,
+    )
+    return y, (w, masked)
+
+
+def _ray_contract_bwd(res, g):
+    w, masked = res
+    gc = g.astype(masked.dtype)  # [b, c, t]
+    d_masked = w.astype(masked.dtype)[:, :, :, None] * gc[:, None, :, :]
+    d_w = jax.lax.dot_general(
+        masked, gc,
+        dimension_numbers=(((3,), (2,)), ((0, 2), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # [b, c, r]
+    return d_w.transpose(0, 2, 1).astype(w.dtype), d_masked
+
+
+_ray_contract.defvjp(_ray_contract_fwd, _ray_contract_bwd)
 
 
 def _pick_chunk(n_samples: int, requested: int) -> int:
@@ -166,12 +209,31 @@ def render_fused(
         xs.append(dist_all.reshape(bs, R, n_chunks, C).transpose(2, 0, 1, 3))
         xs = tuple(x for x in xs if x is not None)
 
+    # AVR_TPU_SIGNAL_DTYPE ∈ {float32, bfloat16, auto}: dtype of the
+    # [bs,R,C,T] signal stream through the masks + ray contraction
+    # (_ray_contract keeps both directions on single-pass bf16 MXU).
+    # Measured on the flagship (v5e): bf16 is perf-NEUTRAL (84.3 vs
+    # 84.2 ms — the pass is not bandwidth-bound after the klm encode
+    # rework), so the default stays exact fp32; "auto" follows
+    # compute_dtype for experiments.
+    sdt = os.environ.get("AVR_TPU_SIGNAL_DTYPE", "float32")
+    sig_bf16 = sdt == "bfloat16" or (
+        sdt == "auto"
+        and compute_dtype is not None
+        and jnp.dtype(compute_dtype) == jnp.bfloat16
+    )
+
     def spectrum_accumulate(signal, dist_tx, w_c, tail_c, pl_c, ph_re, ph_im, carry):
         acc_re, acc_im = carry
         head = head_delay_mask(dist_tx, rc.fs, rc.speed, T)  # [bs, R, C, T]
-        masked = signal * head * tail_c[None, None, :, :]
-        # Spherical pre-reduction: contract rays BEFORE the FFT.
-        y = jnp.einsum("brc,brct->bct", w_c, masked)  # [bs, C, T]
+        if sig_bf16:
+            mask = (head * tail_c[None, None, :, :]).astype(jnp.bfloat16)
+            masked = signal.astype(jnp.bfloat16) * mask
+            y = _ray_contract(w_c, masked)  # [bs, C, T] fp32
+        else:
+            masked = signal * head * tail_c[None, None, :, :]
+            # Spherical pre-reduction: contract rays BEFORE the FFT.
+            y = jnp.einsum("brc,brct->bct", w_c, masked)  # [bs, C, T]
         spec = jnp.fft.rfft(y * pl_c[None, :, :], axis=-1)  # [bs, C, F]
         re = jnp.real(spec) * ph_re - jnp.imag(spec) * ph_im
         im = jnp.real(spec) * ph_im + jnp.imag(spec) * ph_re
