@@ -215,25 +215,34 @@ def _sorted_scatter(
         [jnp.stack(rows), jnp.zeros((8 - 1 - NP, Mp), jnp.float32)]
     )  # [8, Mp]
 
-    # Transposed output: the kernel emits [SL(=F padded to 8), E_pad]
-    # feature-major so the caller's final transpose back to [E_pad, F] is
-    # a layout BITCAST into a feature-major table layout. Only useful when
-    # XLA lays the table out entry-minor ({0,1}): that was the case with
-    # the [L, N, K] encode layout (the row-major kernel output then paid a
-    # 3.4 ms/step minor-4 transpose copy; tout=1 measured +7 ms/step
-    # there), but under the default klm encode layout XLA keeps the table
-    # row-major and tout only adds work (measured −6.5 ms/step). Default
-    # off; AVR_TPU_SCATTER_TOUT=1 for feature-major-table graphs.
-    tout = os.environ.get("AVR_TPU_SCATTER_TOUT", "0") == "1"
+    # Output layout modes (AVR_TPU_SCATTER_TOUT), all measured on the
+    # flagship bench under the klm encode layout (2026-08-18):
+    #   "0" — row-major [E_pad, F]; any consumer relayout lands on XLA.
+    #         84.3 ms/step — the DEFAULT and the best measured.
+    #   "1" — feature-major [SL, E_pad] + caller transpose: −6.5 ms/step
+    #         NET LOSS (only pays for untiled feature-major consumers —
+    #         the sublane-padded slice copies anyway).
+    #   "2" — blocked [E_pad/128, F, 128] intended to bitcast into a
+    #         {0,1:T(4,128)}-tiled consumer: numerically exact but
+    #         90.3 ms/step — the in-kernel [F,TS]→[TS/128,F,128] sublane
+    #         shuffle costs more than the relayout copy it saves.
+    tout = os.environ.get("AVR_TPU_SCATTER_TOUT", "0")
+    if tout == "2" and (TS % _LANE or E_pad % _LANE):
+        tout = "0"
     SL = -(-F // 8) * 8
 
     kernel = functools.partial(
         _tile_kernel, TS=TS, UC=UC, CB=CB, F=F, precision=precision,
-        packed=packed, SL=(SL if tout else 0),
+        packed=packed, SL=(SL if tout == "1" else 0), blocked=(tout == "2"),
     )
-    if tout:
+    if tout == "1":
         out_specs = pl.BlockSpec((SL, TS), lambda t: (0, t), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((SL, E_pad), jnp.float32)
+    elif tout == "2":
+        out_specs = pl.BlockSpec(
+            (TS // _LANE, F, _LANE), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((E_pad // _LANE, F, _LANE), jnp.float32)
     else:
         out_specs = pl.BlockSpec((TS, F), lambda t: (t, 0), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((E_pad, F), jnp.float32)
@@ -255,14 +264,18 @@ def _sorted_scatter(
         ],
         interpret=interpret,
     )(blocks, cbase, colblk, gtot, data)
-    if tout:
+    if tout == "1":
         return out[:F, :n_rows].T
+    if tout == "2":
+        # [E_pad/128, F, 128] → [E_pad, F]: bits already match the
+        # consumer's {0,1:T(4,128)} layout, so this lowers to a bitcast.
+        return out.swapaxes(1, 2).reshape(E_pad, F)[:n_rows]
     return out[:n_rows]
 
 
 def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
                  out_ref, scratch, sems, *, TS, UC, CB, F, precision, packed,
-                 SL=0):
+                 SL=0, blocked=False):
     """One table tile; chunk DMAs are pipelined ACROSS tiles.
 
     Chunks are numbered globally in processing order (cbase/colblk from
@@ -296,14 +309,15 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
             def _():
                 chunk_dma(d).start()
 
-    # SL > 0 → transposed accumulate: acc is [SL, TS] feature-major (u
-    # rows padded to SL sublanes) so the kernel output transposes back to
-    # the table layout as a bitcast. SL == 0 → original [TS, F] layout.
+    # SL > 0 or blocked → transposed accumulate: acc is [SL|F, TS]
+    # feature-major so the kernel output lands in (or one sublane shuffle
+    # from) the consumer's layout. Otherwise the original [TS, F] layout.
+    transposed = bool(SL) or blocked
     contract = (((1,), (1,)), ((), ()))
 
     def _acc(acc, a, b):
         """acc += a·bᵀ along UC, in whichever orientation acc uses."""
-        lhs, rhs = (a, b) if SL else (b, a)
+        lhs, rhs = (a, b) if transposed else (b, a)
         return acc + jax.lax.dot_general(
             lhs, rhs, dimension_numbers=contract,
             preferred_element_type=jnp.float32,
@@ -349,11 +363,18 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
                 acc = _acc(acc, _pad_sl(rem.astype(jnp.bfloat16)), onehot)
         return acc
 
-    acc = jax.lax.fori_loop(
-        0, nchunks, body,
-        jnp.zeros((SL, TS) if SL else (TS, F), jnp.float32),
-    )
-    out_ref[:] = acc
+    if SL:
+        init = jnp.zeros((SL, TS), jnp.float32)
+    elif blocked:
+        init = jnp.zeros((F, TS), jnp.float32)
+    else:
+        init = jnp.zeros((TS, F), jnp.float32)
+    acc = jax.lax.fori_loop(0, nchunks, body, init)
+    if blocked:
+        # [F, TS] → [TS/128, F, 128]: lane dim intact, sublane-dims swap
+        out_ref[:] = acc.reshape(F, TS // 128, 128).swapaxes(0, 1)
+    else:
+        out_ref[:] = acc
 
 
 # ----------------------------------------------------------------------
