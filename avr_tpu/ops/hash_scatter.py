@@ -96,6 +96,10 @@ def scatter_add_rows(
             "sorted" if (on_tpu() or interpret) else "xla"
         )
     if impl == "xla":
+        if os.environ.get("AVR_TPU_SMALL_SCATTER", "unique") == "unique" and on_tpu():
+            return _xla_scatter_unique(
+                idx.reshape(-1), upd.reshape(-1, upd.shape[-1]), n_rows
+            )
         return (
             jnp.zeros((n_rows, upd.shape[-1]), upd.dtype)
             .at[idx.reshape(-1)]
@@ -107,6 +111,51 @@ def scatter_add_rows(
         idx, upd, n_rows,
         tile_rows=tile_rows, chunk=chunk, precision=precision,
         payload=payload, interpret=interpret,
+    )
+
+
+def _xla_scatter_unique(idx: Array, upd: Array, n_rows: int) -> Array:
+    """Collision-free scatter-add for small update streams.
+
+    XLA's TPU scatter emitter is row-serial when updates may collide
+    (measured ~46 ns/row on the 52k-row view-direction gradient —
+    2.4 ms/step). Here collisions are eliminated BEFORE the scatter:
+    sort by index, sum each equal-index run with a cumsum difference
+    (no scatter needed), then scatter only run heads — every index
+    unique (non-heads get distinct out-of-range indices and drop), so
+    XLA may use its vectorized no-collision path.
+
+    Run sums via fp32 cumsum difference are exact to ~len·eps
+    cancellation — gradient-grade (these streams are bf16-born
+    cotangents); the dense XLA path remains available via
+    AVR_TPU_SMALL_SCATTER=xla and is the CPU/parity default.
+    """
+    M, F = upd.shape
+    ops = jax.lax.sort(
+        (idx,) + tuple(upd[:, j] for j in range(F)), num_keys=1, is_stable=False
+    )
+    idx_s = ops[0]
+    upd_s = jnp.stack(ops[1:], axis=-1)
+    cs = jnp.cumsum(upd_s, axis=0)  # [M, F]
+    iota = jnp.arange(M, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), idx_s[1:] != idx_s[:-1]]
+    )  # first row of each equal-index run
+    # position of the first head at-or-after i; run of head i ends at
+    # next_head(i+1) − 1
+    headpos = jnp.where(head, iota, M)
+    first_at_or_after = jax.lax.associative_scan(
+        jnp.minimum, headpos, reverse=True
+    )
+    run_end = jnp.concatenate(
+        [first_at_or_after[1:], jnp.full((1,), M, jnp.int32)]
+    ) - 1  # [M], valid at run heads
+    run_sum = cs[run_end] - cs + upd_s  # valid at run heads
+    dst = jnp.where(head, idx_s, n_rows + iota)  # unique (OOB rows drop)
+    return (
+        jnp.zeros((n_rows, F), upd.dtype)
+        .at[dst]
+        .add(run_sum, unique_indices=True, mode="drop")
     )
 
 
@@ -168,32 +217,7 @@ def _sorted_scatter(
     idx_s = sorted_ops[0]
 
     Mp = (_cdiv(M, UC) + 1) * UC  # padded stream length (see step 3)
-
-    # ---- 2. tile segment boundaries ----------------------------------
-    edges = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TS
-    starts = jnp.searchsorted(idx_s, edges, side="left").astype(jnp.int32)
-    b0 = starts[:-1] // _LANE  # first 128-col block of each tile
-    b1 = -(-starts[1:] // _LANE)  # one past last block (ceil)
-    blocks = jnp.stack([b0, b1], axis=0)  # [2, n_tiles] int32
-
-    # Global chunk schedule: the kernel pipelines chunk DMAs ACROSS tiles
-    # (most tiles have 1-2 chunks, so intra-tile double buffering alone
-    # leaves every tile stalled on its first chunk). Chunks are numbered
-    # globally in processing order; colblk[g] is chunk g's starting
-    # 128-column block, precomputed here so any grid step can prefetch
-    # any future chunk without scanning tile metadata.
-    nch = -(-(b1 - b0) // CB)  # chunks per tile
-    cbase = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch, dtype=jnp.int32)]
-    )  # [n_tiles + 1]
-    g_max = M // UC + 1 + n_tiles  # static upper bound on total chunks
-    g_ar = jnp.arange(g_max, dtype=jnp.int32)
-    t_of = jnp.clip(
-        jnp.searchsorted(cbase, g_ar, side="right") - 1, 0, n_tiles - 1
-    )
-    colblk = b0[t_of] + (g_ar - cbase[t_of]) * CB
-    colblk = jnp.clip(colblk, 0, (Mp - UC) // _LANE)
-    gtot = cbase[-1:]  # [1] total chunks
+    blocks, cbase, colblk, gtot = _tile_ranges(idx_s, M, Mp, n_tiles, TS, UC)
 
     # ---- 3. pack sorted stream as [8, Mp] rows -----------------------
     # Row 0: indices as float32 VALUES (exact for idx < 2^24; a bitcast
@@ -231,11 +255,35 @@ def _sorted_scatter(
         tout = "0"
     SL = -(-F // 8) * 8
 
+    # One-hot construction mode (AVR_TPU_SCATTER_ONEHOT): "dense" builds
+    # the full [TS, UC] one-hot by iota compare (TS·UC VPU ops per chunk
+    # — the kernel's dominant cost at TS=512); "factored" splits the
+    # tile-local index as a·16+b and builds two small one-hots
+    # ([TS/16, UC] and [16, UC]), folding the b-one-hot into the payload:
+    # acc[a, b·F+f] += Σ_u oh_a[a,u]·(oh_b[b,u]·upd[f,u]) — ~9× fewer
+    # VPU ops, same exact 0/1 masking, one extra [A,B,F]→[TS,F] shuffle
+    # per tile. Only wired for the row-major output path.
+    factored = (
+        os.environ.get("AVR_TPU_SCATTER_ONEHOT", "factored") == "factored"
+        and tout == "0"
+        and TS % 16 == 0
+        and precision != "f32"  # single-pass f32 dot keeps the dense path
+    )
     kernel = functools.partial(
         _tile_kernel, TS=TS, UC=UC, CB=CB, F=F, precision=precision,
         packed=packed, SL=(SL if tout == "1" else 0), blocked=(tout == "2"),
+        factored=factored,
     )
-    if tout == "1":
+    if factored:
+        # acc lives as [TS/16, 16·F] (row a·16+b at [a, b·F:(b+1)·F]);
+        # emitting that geometry directly keeps the kernel free of
+        # lane→sublane reshapes (Mosaic rejects them); the caller-side
+        # [E_pad/16, 16·F] → [E_pad, F] merge is contiguous, i.e. free.
+        out_specs = pl.BlockSpec(
+            (TS // 16, 16 * F), lambda t: (t, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((E_pad // 16, 16 * F), jnp.float32)
+    elif tout == "1":
         out_specs = pl.BlockSpec((SL, TS), lambda t: (0, t), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((SL, E_pad), jnp.float32)
     elif tout == "2":
@@ -264,6 +312,8 @@ def _sorted_scatter(
         ],
         interpret=interpret,
     )(blocks, cbase, colblk, gtot, data)
+    if factored:
+        return out.reshape(E_pad, F)[:n_rows]
     if tout == "1":
         return out[:F, :n_rows].T
     if tout == "2":
@@ -273,9 +323,78 @@ def _sorted_scatter(
     return out[:n_rows]
 
 
+def _tile_ranges(idx_s, M, Mp, n_tiles, TS, UC):
+    """Per-tile 128-block ranges + global chunk schedule from the sorted
+    index stream.
+
+    Returns (blocks [2, n_tiles], cbase [n_tiles+1], colblk [g_max],
+    gtot [1]). The kernel builds an exact one-hot against each tile's
+    local index range, so rows OUTSIDE the tile that land inside its
+    block range contribute zero columns — block bounds only need to
+    COVER each tile's rows, not match them exactly. That slack makes a
+    128-strided sample of the stream sufficient for the edge search
+    (AVR_TPU_SCATTER_EDGES=exact restores the full binary search over
+    all M rows; measured ~1 ms/step slower on the flagship):
+
+      j[t] = #{sampled rows < t·TS}, sample = idx_s[::128]
+      ⇒ the true row count c[t] = #{rows < t·TS} lies in
+        (128·(j[t]−1), 128·j[t]], so ceil(c/128) = j[t] exactly (upper
+        block bound) and floor(c/128) ∈ {j[t]−1, j[t]} (lower bound with
+        one block of slack).
+    """
+    CB = UC // _LANE
+    edges = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TS
+    if os.environ.get("AVR_TPU_SCATTER_EDGES", "sampled") == "exact":
+        starts = jnp.searchsorted(idx_s, edges, side="left").astype(jnp.int32)
+        b0 = starts[:-1] // _LANE  # first 128-col block of each tile
+        b1 = -(-starts[1:] // _LANE)  # one past last block (ceil)
+    else:
+        samp = idx_s[::_LANE]  # [ceil(M/128)] first row of each block
+        j = jnp.searchsorted(samp, edges, side="left").astype(jnp.int32)
+        b0 = jnp.maximum(j[:-1] - 1, 0)
+        b1 = j[1:]
+    blocks = jnp.stack([b0, b1], axis=0)  # [2, n_tiles] int32
+
+    # Global chunk schedule: the kernel pipelines chunk DMAs ACROSS tiles
+    # (most tiles have 1-2 chunks, so intra-tile double buffering alone
+    # leaves every tile stalled on its first chunk). Chunks are numbered
+    # globally in processing order; colblk[g] is chunk g's starting
+    # 128-column block, precomputed here so any grid step can prefetch
+    # any future chunk without scanning tile metadata.
+    nch = -(-(b1 - b0) // CB)  # chunks per tile
+    cbase = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch, dtype=jnp.int32)]
+    )  # [n_tiles + 1]
+    # Static upper bound on total chunks (colblk lives in SMEM — keep it
+    # tight): Σ(b1−b0) ≤ M/128 blocks + 1 slack block per tile (sampled
+    # bounds), and each tile's ceil rounding adds < 1 chunk.
+    g_max = M // UC + 1 + n_tiles + _cdiv(n_tiles, CB)
+    # chunk id → owning tile: t_of[g] = max{t : cbase[t] ≤ g}. A
+    # searchsorted over cbase costs ~2.9 ms/step in 32 binary-search
+    # while-iterations (measured); one small scatter + cumsum is ~10× cheaper:
+    # cumsum(1 at cbase[t] for each tile t)[g] = #{t : cbase[t] ≤ g}.
+    if os.environ.get("AVR_TPU_SCATTER_TOF", "cumsum") == "search":
+        g_ar = jnp.arange(g_max, dtype=jnp.int32)
+        t_of = jnp.clip(
+            jnp.searchsorted(cbase, g_ar, side="right") - 1, 0, n_tiles - 1
+        )
+    else:
+        marks = (
+            jnp.zeros((g_max,), jnp.int32)
+            .at[jnp.clip(cbase[:-1], 0, g_max - 1)]
+            .add(1, indices_are_sorted=True)
+        )
+        t_of = jnp.clip(jnp.cumsum(marks) - 1, 0, n_tiles - 1)
+        g_ar = jnp.arange(g_max, dtype=jnp.int32)
+    colblk = blocks[0][t_of] + (g_ar - cbase[t_of]) * CB
+    colblk = jnp.clip(colblk, 0, (Mp - UC) // _LANE)
+    gtot = cbase[-1:]  # [1] total chunks
+    return blocks, cbase, colblk, gtot
+
+
 def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
                  out_ref, scratch, sems, *, TS, UC, CB, F, precision, packed,
-                 SL=0, blocked=False):
+                 SL=0, blocked=False, factored=False):
     """One table tile; chunk DMAs are pipelined ACROSS tiles.
 
     Chunks are numbered globally in processing order (cbase/colblk from
@@ -330,6 +449,60 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
             )
         return u
 
+    B = 16  # factored split: local = a·B + b
+    A = TS // B
+
+    def _unpack_payload(rows):
+        """Payload rows of one chunk as bf16-valued [F, UC] (packed mode)."""
+        bits = pltpu.bitcast(rows[1 : 1 + F // 2, :], jnp.uint32)
+        lo = pltpu.bitcast(bits << 16, jnp.float32)
+        hi = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        return jnp.concatenate([lo, hi], axis=0)  # [F, UC], bf16-valued
+
+    def body_factored(k, acc):
+        # acc [A, B·F] fp32; acc[a, b·F+f] = Σ rows with local == a·B+b.
+        # Exactness: oh_a/oh_b are exact 0/1 bf16 and V = oh_b·u masks
+        # exactly, so each row contributes u·1 to exactly one (a, b) —
+        # identical sums to the dense one-hot, ~9× fewer VPU ops.
+        # Out-of-tile rows: local < 0 ⇒ a < 0; local ≥ TS ⇒ a ≥ A —
+        # either way oh_a is all-zero for that column (b may collide,
+        # but the product vanishes with oh_a).
+        g = g0 + k
+
+        @pl.when(g + _LOOK < G)
+        def _():
+            chunk_dma(g + _LOOK).start()
+
+        chunk_dma(g).wait()
+        rows = scratch[jax.lax.rem(g, _NSLOT)]  # [8, UC] f32
+        local = rows[0:1, :].astype(jnp.int32)  # [1, UC]
+        local = local - t * TS
+        a = jax.lax.div(local, B)  # arithmetic: negative stays negative
+        b = local - a * B
+        ia = jax.lax.broadcasted_iota(jnp.int32, (A, UC), 0)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (B, UC), 0)
+        oh_a = (ia == a).astype(jnp.bfloat16)  # [A, UC]
+        oh_b = (ib == b).astype(jnp.bfloat16)  # [B, UC]
+
+        def pass_(acc, u):  # u [F, UC] bf16
+            v = (oh_b[:, None, :] * u[None, :, :]).reshape(B * F, UC)
+            return acc + jax.lax.dot_general(
+                oh_a, v, dimension_numbers=contract,
+                preferred_element_type=jnp.float32,
+            )
+
+        if packed:
+            return pass_(acc, _unpack_payload(rows).astype(jnp.bfloat16))
+        u = rows[1 : 1 + F, :]
+        hi = u.astype(jnp.bfloat16)
+        acc = pass_(acc, hi)
+        lo = (u - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = pass_(acc, lo)
+        if precision == "bf16x3":
+            rem = u - hi.astype(jnp.float32) - lo.astype(jnp.float32)
+            acc = pass_(acc, rem.astype(jnp.bfloat16))
+        return acc
+
     def body(k, acc):
         g = g0 + k
 
@@ -363,6 +536,11 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
                 acc = _acc(acc, _pad_sl(rem.astype(jnp.bfloat16)), onehot)
         return acc
 
+    if factored:
+        out_ref[:] = jax.lax.fori_loop(
+            0, nchunks, body_factored, jnp.zeros((A, B * F), jnp.float32)
+        )
+        return
     if SL:
         init = jnp.zeros((SL, TS), jnp.float32)
     elif blocked:
@@ -517,6 +695,29 @@ def _gather_lvl_bwd(res, g):
 gather_rows_leveled.defvjp(_gather_lvl_fwd, _gather_lvl_bwd)
 
 
+def _maybe_pin_rowmajor(table: Array) -> Array:
+    """AVR_TPU_TABLE_LAYOUT=rowmajor: pin the fp32 table row-major.
+
+    XLA's layout assignment propagates the gather's entry-minor
+    preference through the cast onto the fp32 parameter, which then
+    forces a {1,0:T(8,128)}→{0,1:T(4,128)} relayout copy of the whole
+    table GRADIENT every step (measured 3.4 ms on the flagship). Pinning
+    the table row-major at its first use moves that relayout onto the
+    forward instead — measured a NET LOSS (87.8 vs 83.3 ms/step): the
+    gather path is worth more than the gradient copy. Default off;
+    kept as an A/B knob for other table shapes.
+    """
+    if (
+        os.environ.get("AVR_TPU_TABLE_LAYOUT", "") == "rowmajor"
+        and on_tpu()
+        and len(jax.devices()) == 1  # constraint requires a concrete sharding
+    ):
+        from jax.experimental.layout import Layout, with_layout_constraint
+
+        return with_layout_constraint(table, Layout(major_to_minor=(0, 1)))
+    return table
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows_lmajor(table: Array, idx: Array, cast: Optional[str] = None) -> Array:
     """table[idx] for LEVEL-MAJOR hash-grid indices idx [L, ...].
@@ -534,11 +735,13 @@ def gather_rows_lmajor(table: Array, idx: Array, cast: Optional[str] = None) -> 
     table cotangent through a bf16 round-trip in an awkward minor-4
     layout (measured 7.4 ms/step on the flagship).
     """
+    table = _maybe_pin_rowmajor(table)
     t = table.astype(cast) if cast is not None else table
     return t[idx]
 
 
 def _gather_lmaj_fwd(table, idx, cast):
+    table = _maybe_pin_rowmajor(table)
     t = table.astype(cast) if cast is not None else table
     return (
         t[idx],

@@ -104,6 +104,62 @@ def test_encode_pair_still_matches_two_encodes():
     )
 
 
+def test_xla_scatter_unique_matches_numpy():
+    rng = np.random.default_rng(7)
+    for M, E in [(5000, 700), (1, 10), (513, 1)]:
+        idx = rng.integers(0, E, M).astype(np.int32)
+        upd = rng.normal(size=(M, 2)).astype(np.float32)
+        out = jax.jit(
+            lambda i, u: hash_scatter._xla_scatter_unique(i, u, E)
+        )(jnp.asarray(idx), jnp.asarray(upd))
+        ref = np.zeros((E, 2), np.float32)
+        np.add.at(ref, idx, upd)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("edges", ["sampled", "exact"])
+@pytest.mark.parametrize("tof", ["cumsum", "search"])
+def test_tile_ranges_cover_and_schedule(monkeypatch, edges, tof):
+    """_tile_ranges invariants, both edge-search and t_of modes.
+
+    (1) every sorted row lies inside its tile's [b0·128, b1·128) block
+    range; (2) exact-mode upper bounds are never exceeded by sampled
+    slack on the low side by more than one block; (3) the global chunk
+    schedule enumerates each tile's blocks contiguously from b0 with
+    stride CB and gtot == cbase[-1] ≤ colblk's static length.
+    """
+    monkeypatch.setenv("AVR_TPU_SCATTER_EDGES", edges)
+    monkeypatch.setenv("AVR_TPU_SCATTER_TOF", tof)
+    rng = np.random.default_rng(42)
+    TS, UC = 512, 1024
+    CB = UC // 128
+    for M, E in [(20_000, 3_000), (9_999, 70_000), (1024, 512)]:
+        n_tiles = -(-E // TS)
+        Mp = (M // UC + 2) * UC
+        idx_s = jnp.asarray(np.sort(rng.integers(0, E, M)).astype(np.int32))
+        blocks, cbase, colblk, gtot = jax.jit(
+            lambda i: hash_scatter._tile_ranges(i, M, Mp, n_tiles, TS, UC)
+        )(idx_s)
+        b0, b1 = np.asarray(blocks)
+        cbase, colblk, gtot = map(np.asarray, (cbase, colblk, gtot))
+        idx_np = np.asarray(idx_s)
+        starts = np.searchsorted(idx_np, np.arange(n_tiles + 1) * TS)
+        # (1) coverage: tile t's rows live in [starts[t], starts[t+1])
+        assert (b0 * 128 <= starts[:-1]).all()
+        assert (b1 * 128 >= starts[1:]).all()
+        # (2) tightness: ≤1 slack block per side
+        assert (b0 * 128 >= np.maximum(starts[:-1] - 128, 0) - 127).all()
+        assert (b1 * 128 <= starts[1:] + 127 + (0 if edges == "exact" else 0)).all()
+        # (3) chunk schedule
+        nch = -(-(b1 - b0) // CB)
+        assert (cbase[1:] - cbase[:-1] == nch).all()
+        assert gtot[0] == cbase[-1] <= len(colblk)
+        for t in range(0, n_tiles, max(1, n_tiles // 50)):
+            for k in range(nch[t]):
+                g = cbase[t] + k
+                assert colblk[g] == min(b0[t] + k * CB, (Mp - UC) // 128)
+
+
 @pytest.mark.skipif(not hash_scatter.on_tpu(), reason="needs TPU hardware")
 def test_sorted_scatter_on_tpu():
     rng = np.random.default_rng(0)
