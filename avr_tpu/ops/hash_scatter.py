@@ -71,7 +71,11 @@ def scatter_add_rows(
     n_rows: int,
     *,
     impl: Optional[str] = None,
-    tile_rows: int = 512,
+    # TS/B/UC swept on the flagship with the factored one-hot
+    # (2026-08-18): 1024/16/1024 = 81.6 ms < 512/16 82.8 < 2048/32 82.5
+    # < 1024/32 84.4 < uc2048 85.5 < 512/32 86.0. Larger tiles got
+    # relatively cheaper once the one-hot build stopped scaling with TS.
+    tile_rows: int = 1024,
     chunk: int = 1024,
     precision: str = "bf16x2",
     payload: Optional[str] = None,
@@ -107,6 +111,8 @@ def scatter_add_rows(
         )
     if payload is None:
         payload = os.environ.get("AVR_TPU_SCATTER_PAYLOAD", "f32")
+    tile_rows = int(os.environ.get("AVR_TPU_SCATTER_TS", tile_rows))
+    chunk = int(os.environ.get("AVR_TPU_SCATTER_UC", chunk))
     return _sorted_scatter(
         idx, upd, n_rows,
         tile_rows=tile_rows, chunk=chunk, precision=precision,
@@ -263,26 +269,27 @@ def _sorted_scatter(
     # acc[a, b·F+f] += Σ_u oh_a[a,u]·(oh_b[b,u]·upd[f,u]) — ~9× fewer
     # VPU ops, same exact 0/1 masking, one extra [A,B,F]→[TS,F] shuffle
     # per tile. Only wired for the row-major output path.
+    FB = int(os.environ.get("AVR_TPU_SCATTER_B", "16"))  # factor split
     factored = (
         os.environ.get("AVR_TPU_SCATTER_ONEHOT", "factored") == "factored"
         and tout == "0"
-        and TS % 16 == 0
+        and TS % FB == 0
         and precision != "f32"  # single-pass f32 dot keeps the dense path
     )
     kernel = functools.partial(
         _tile_kernel, TS=TS, UC=UC, CB=CB, F=F, precision=precision,
         packed=packed, SL=(SL if tout == "1" else 0), blocked=(tout == "2"),
-        factored=factored,
+        factored=factored, B=FB,
     )
     if factored:
-        # acc lives as [TS/16, 16·F] (row a·16+b at [a, b·F:(b+1)·F]);
+        # acc lives as [TS/B, B·F] (row a·B+b at [a, b·F:(b+1)·F]);
         # emitting that geometry directly keeps the kernel free of
         # lane→sublane reshapes (Mosaic rejects them); the caller-side
-        # [E_pad/16, 16·F] → [E_pad, F] merge is contiguous, i.e. free.
+        # [E_pad/B, B·F] → [E_pad, F] merge is contiguous, i.e. free.
         out_specs = pl.BlockSpec(
-            (TS // 16, 16 * F), lambda t: (t, 0), memory_space=pltpu.VMEM
+            (TS // FB, FB * F), lambda t: (t, 0), memory_space=pltpu.VMEM
         )
-        out_shape = jax.ShapeDtypeStruct((E_pad // 16, 16 * F), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((E_pad // FB, FB * F), jnp.float32)
     elif tout == "1":
         out_specs = pl.BlockSpec((SL, TS), lambda t: (0, t), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((SL, E_pad), jnp.float32)
@@ -394,7 +401,7 @@ def _tile_ranges(idx_s, M, Mp, n_tiles, TS, UC):
 
 def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
                  out_ref, scratch, sems, *, TS, UC, CB, F, precision, packed,
-                 SL=0, blocked=False, factored=False):
+                 SL=0, blocked=False, factored=False, B=16):
     """One table tile; chunk DMAs are pipelined ACROSS tiles.
 
     Chunks are numbered globally in processing order (cbase/colblk from
@@ -449,8 +456,7 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
             )
         return u
 
-    B = 16  # factored split: local = a·B + b
-    A = TS // B
+    A = TS // B  # factored split: local = a·B + b
 
     def _unpack_payload(rows):
         """Payload rows of one chunk as bf16-valued [F, UC] (packed mode)."""
