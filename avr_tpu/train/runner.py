@@ -282,13 +282,19 @@ class AVRRunner:
         max_b = None if mode_set == "test" else 15
         pred, ori = self.render_dataset(data, max_batches=max_b)
 
-        bundle, ori_t, pred_t = jax.device_get(
-            criterion(
-                jnp.stack([pred.real, pred.imag], -1),
-                jnp.stack([ori.real, ori.imag], -1),
-                self.crit,
+        # Host-side criterion: validation arrays are small and the axon
+        # backend hits UNIMPLEMENTED on eager complex ops (rfft/einsum),
+        # so pin this computation to the CPU device (the reference also
+        # computes validation metrics host-side, avr_runner.py:260).
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            bundle, ori_t, pred_t = jax.device_get(
+                criterion(
+                    jnp.stack([pred.real, pred.imag], -1),
+                    jnp.stack([ori.real, ori.imag], -1),
+                    self.crit,
+                )
             )
-        )
         losses = {
             "spec_loss": float(bundle.spec),
             "fft_loss": float(bundle.amplitude) + float(bundle.angle),
