@@ -488,11 +488,16 @@ def summarize(results: Dict[str, Dict[str, list]]) -> Dict[str, Dict[str, float]
     for algo, r in results.items():
         clean = [e for e in r["pred_vs_gt_error"] if e is not None]
         clean_t = [e for e in r["pred_vs_true_error"] if e is not None]
+        # gt_vs_true is the pipeline-health metric: DoA of the MEASURED
+        # spectra against the geometric angle. Large values point at the
+        # data/dump/array-geometry path, not the model.
+        clean_g = [e for e in r.get("gt_vs_true_error", []) if e is not None]
         out[algo] = {
             "mean_pred_vs_gt": float(np.mean(clean)) if clean else float("nan"),
             "median_pred_vs_gt": float(np.median(clean)) if clean else float("nan"),
             "std_pred_vs_gt": float(np.std(clean)) if clean else float("nan"),
             "mean_pred_vs_true": float(np.mean(clean_t)) if clean_t else float("nan"),
+            "mean_gt_vs_true": float(np.mean(clean_g)) if clean_g else float("nan"),
             "n": len(clean),
         }
     return out
