@@ -10,16 +10,23 @@ RAF-Furnished workload).
 TPU-native design (no atomics on TPU):
 
   1. sort the ``M`` (index, update-row) pairs by flat table index
-     (``jax.lax.sort``, one fused multi-operand sort);
-  2. bucket the sorted stream into table *tiles* of ``TS`` rows; the
-     per-tile segment boundaries come from one vectorized
-     ``searchsorted`` over the tile edges;
+     (``jax.lax.sort``, per-level batched multi-operand row-sorts);
+  2. bucket the sorted stream into table *tiles* of ``TS`` rows; block
+     bounds come from a binary search over a 128-strided SAMPLE of the
+     stream and the chunk→tile schedule from a scatter+cumsum
+     (``_tile_ranges`` — exact bounds are unnecessary because of the
+     exact one-hot, see below);
   3. a Pallas kernel, gridded over table tiles, DMAs each tile's
-     contiguous slice of sorted updates from HBM and accumulates it with
-     one-hot matmuls on the MXU: ``acc[TS,F] += onehot[UC,TS]^T @
-     upd[UC,F]``. The one-hot is exact (0/1 in bf16), so splitting each
-     fp32 update into bf16 hi+lo passes reconstructs fp32-accurate sums
-     with pure bf16 MXU throughput.
+     contiguous slice of sorted updates from HBM (a cross-tile
+     pipelined ring of chunk DMAs) and accumulates on the MXU with a
+     FACTORED exact one-hot: the tile-local index splits as a·B+b, two
+     small one-hots ([TS/B, UC] and [B, UC]) replace the dense
+     [TS, UC] compare, the b-one-hot is folded into the payload
+     (V = oh_b·upd, exact 0/1 masking in bf16), and
+     ``acc[TS/B, B·F] += oh_a @ V^T``. Splitting each fp32 update into
+     bf16 hi+lo passes reconstructs fp32-accurate sums with pure bf16
+     MXU throughput. (``AVR_TPU_SCATTER_ONEHOT=dense`` restores the
+     single dense one-hot — ~2× slower kernel, measured.)
 
 Because chunk DMA offsets are 128-lane aligned, tile segments are widened
 to block boundaries; rows spilling in from neighbouring tiles fall outside
