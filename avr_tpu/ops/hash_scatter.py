@@ -477,9 +477,13 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
         # Exactness: oh_a/oh_b are exact 0/1 bf16 and V = oh_b·u masks
         # exactly, so each row contributes u·1 to exactly one (a, b) —
         # identical sums to the dense one-hot, ~9× fewer VPU ops.
-        # Out-of-tile rows: local < 0 ⇒ a < 0; local ≥ TS ⇒ a ≥ A —
-        # either way oh_a is all-zero for that column (b may collide,
-        # but the product vanishes with oh_a).
+        # Out-of-tile rows (spill-in from the ±1-block slack of the
+        # sampled edge search): lax.div truncates toward zero, so
+        #   local ≤ −B   ⇒ a ≤ −1 (no oh_a match);
+        #   −B < local < 0 ⇒ a = 0 BUT b = local < 0 (no oh_b match);
+        #   local ≥ TS   ⇒ a ≥ A (no oh_a match);
+        # in every case the (a,b) product vanishes — at least one factor
+        # must miss, and the negative-b case is what covers a = 0.
         g = g0 + k
 
         @pl.when(g + _LOOK < G)
