@@ -233,23 +233,26 @@ def _sorted_scatter(
     blocks, cbase, colblk, gtot = _tile_ranges(idx_s, M, Mp, n_tiles, TS, UC)
 
     # ---- 3. pack sorted stream as [8, Mp] rows -----------------------
-    # Row 0: indices as float32 VALUES (exact for idx < 2^24; a bitcast
-    # would make small ints denormal floats, which the load path flushes
-    # to zero); rows 1..F: update features; rest zero padding. Fields
-    # live in the (padded) sublane dim so chunk DMAs slice only the
-    # 128-aligned lane dim.
-    assert E_pad < (1 << 24), "float32-exact index packing limit"
+    # Rows 0-1: the index split as (idx >> 12, idx & 4095), each carried
+    # as exact small float32 VALUES — a bitcast would make small ints
+    # denormal floats, which the load path flushes to zero, and a single
+    # f32 value row caps tables at 2^24 rows (the reference's MeshRIR
+    # config needs 20 levels × 2^20 = 21M). The split supports 2^36 rows
+    # and costs nothing: the [8, Mp] block is DMA'd whole either way and
+    # rows 2+NP.. were zero padding. Rows 2..1+NP: update features.
+    assert E_pad < (1 << 36), "hi/lo float32-exact index packing limit"
+    assert NP <= 6, "payload rows exceed the 8-row DMA block"
     Mp = (_cdiv(M, UC) + 1) * UC
     pad = Mp - M
-    idx_f = jnp.concatenate(
-        [idx_s, jnp.full((pad,), E_pad, jnp.int32)]
-    ).astype(jnp.float32)
-    rows = [idx_f] + [
+    idx_p = jnp.concatenate([idx_s, jnp.full((pad,), E_pad, jnp.int32)])
+    idx_hi = (idx_p >> 12).astype(jnp.float32)
+    idx_lo = (idx_p & 4095).astype(jnp.float32)
+    rows = [idx_hi, idx_lo] + [
         jnp.concatenate([sorted_ops[1 + j], jnp.zeros((pad,), jnp.float32)])
         for j in range(NP)
     ]
     data = jnp.concatenate(
-        [jnp.stack(rows), jnp.zeros((8 - 1 - NP, Mp), jnp.float32)]
+        [jnp.stack(rows), jnp.zeros((8 - 2 - NP, Mp), jnp.float32)]
     )  # [8, Mp]
 
     # Output layout modes (AVR_TPU_SCATTER_TOUT), all measured on the
@@ -465,9 +468,16 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
 
     A = TS // B  # factored split: local = a·B + b
 
+    def _local_idx(rows):
+        """Tile-local indices from the hi/lo f32 value rows: [1, UC]."""
+        idx = (
+            rows[0:1, :].astype(jnp.int32) * 4096 + rows[1:2, :].astype(jnp.int32)
+        )
+        return idx - t * TS
+
     def _unpack_payload(rows):
         """Payload rows of one chunk as bf16-valued [F, UC] (packed mode)."""
-        bits = pltpu.bitcast(rows[1 : 1 + F // 2, :], jnp.uint32)
+        bits = pltpu.bitcast(rows[2 : 2 + F // 2, :], jnp.uint32)
         lo = pltpu.bitcast(bits << 16, jnp.float32)
         hi = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
         return jnp.concatenate([lo, hi], axis=0)  # [F, UC], bf16-valued
@@ -492,9 +502,8 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
 
         chunk_dma(g).wait()
         rows = scratch[jax.lax.rem(g, _NSLOT)]  # [8, UC] f32
-        local = rows[0:1, :].astype(jnp.int32)  # [1, UC]
-        local = local - t * TS
-        a = jax.lax.div(local, B)  # arithmetic: negative stays negative
+        local = _local_idx(rows)  # [1, UC]
+        a = jax.lax.div(local, B)  # truncating division (see below)
         b = local - a * B
         ia = jax.lax.broadcasted_iota(jnp.int32, (A, UC), 0)
         ib = jax.lax.broadcasted_iota(jnp.int32, (B, UC), 0)
@@ -510,7 +519,7 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
 
         if packed:
             return pass_(acc, _unpack_payload(rows).astype(jnp.bfloat16))
-        u = rows[1 : 1 + F, :]
+        u = rows[2 : 2 + F, :]
         hi = u.astype(jnp.bfloat16)
         acc = pass_(acc, hi)
         lo = (u - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -529,18 +538,13 @@ def _tile_kernel(blocks_ref, cbase_ref, colblk_ref, gtot_ref, data_hbm,
 
         chunk_dma(g).wait()
         rows = scratch[jax.lax.rem(g, _NSLOT)]  # [8, UC] f32
-        # row 0 carries integer-valued f32 indices (exact below 2^24)
-        local = rows[0:1, :].astype(jnp.int32) - t * TS  # [1, UC]
+        local = _local_idx(rows)  # [1, UC]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TS, UC), 0)
         onehot = (lanes == local).astype(jnp.bfloat16)  # [TS, UC]
         if packed:
             # unpack bf16 pairs: low half -> u_j, high half -> u_{j+F/2}
-            bits = pltpu.bitcast(rows[1 : 1 + F // 2, :], jnp.uint32)
-            lo = pltpu.bitcast(bits << 16, jnp.float32)
-            hi = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
-            u = jnp.concatenate([lo, hi], axis=0)  # [F, UC], bf16-valued
-            return _acc(acc, _pad_sl(u.astype(jnp.bfloat16)), onehot)
-        u = rows[1 : 1 + F, :]  # [F, UC]
+            return _acc(acc, _unpack_payload(rows).astype(jnp.bfloat16), onehot)
+        u = rows[2 : 2 + F, :]  # [F, UC]
         if precision == "f32":
             acc = _acc(acc, _pad_sl(u), onehot.astype(jnp.float32))
         else:
