@@ -196,7 +196,13 @@ def render_fused(
         consts.phase_re.reshape(n_chunks, C, F),
         consts.phase_im.reshape(n_chunks, C, F),
     ]
-    if precompute:
+    # AVR_TPU_SCAN_SLICE=1: instead of pre-stacking the per-point feature
+    # tensors chunk-major for lax.scan (a transpose copy of each), close
+    # over the [bs,R,S,·] arrays and dynamic-slice the shell axis inside
+    # the body. The per-chunk consts reshapes stay in xs (leading-axis
+    # splits, free).
+    scan_slice = precompute and os.environ.get("AVR_TPU_SCAN_SLICE", "0") == "1"
+    if precompute and not scan_slice:
         D = sigma_feat_all.shape[-1]
         xs.append(
             sigma_feat_all.reshape(bs, R, n_chunks, C, D).transpose(2, 0, 1, 3, 4)
@@ -208,6 +214,9 @@ def render_fused(
         )
         xs.append(dist_all.reshape(bs, R, n_chunks, C).transpose(2, 0, 1, 3))
         xs = tuple(x for x in xs if x is not None)
+    elif scan_slice:
+        xs[1] = jnp.arange(n_chunks, dtype=jnp.int32)  # chunk index i
+        xs = tuple(xs)
 
     # AVR_TPU_SIGNAL_DTYPE ∈ {float32, bfloat16, auto}: dtype of the
     # [bs,R,C,T] signal stream through the masks + ray contraction
@@ -239,7 +248,26 @@ def render_fused(
         im = jnp.real(spec) * ph_im + jnp.imag(spec) * ph_re
         return (acc_re + jnp.sum(re, axis=1), acc_im + jnp.sum(im, axis=1))
 
-    if precompute:
+    if scan_slice:
+
+        def signal_body(carry, x):
+            d_c, i, tail_c, pl_c, ph_re, ph_im = x
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * C, C, axis=2)
+            w_c = sl(w)  # [bs, R, C]
+            feat_c = sl(sigma_feat_all)
+            psig_c = None if psig_all is None else sl(psig_all)
+            dist_c = sl(dist_all)
+            signal = field_lib.signal_tail_from_features(
+                params, fstatic, feat_c, psig_c, h_extra,
+                ch_idx=ch_b, compute_dtype=compute_dtype,
+            )  # [bs, R, C, T] fp32
+            return (
+                spectrum_accumulate(
+                    signal, dist_c, w_c, tail_c, pl_c, ph_re, ph_im, carry
+                ),
+                None,
+            )
+    elif precompute:
         has_psig = is_complex
 
         def signal_body(carry, x):

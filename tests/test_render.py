@@ -106,6 +106,34 @@ def test_fused_matches_oracle_forward(rng, complex_variant, shell_chunk, point_b
     np.testing.assert_allclose(got / scale, ref / scale, atol=5e-5)
 
 
+@pytest.mark.parametrize("complex_variant", [False, True])
+def test_scan_slice_mode_matches_default(monkeypatch, rng, complex_variant):
+    """AVR_TPU_SCAN_SLICE=1 (dynamic-slice scan body) must reproduce the
+    pre-stacked xs path bit-for-bit — same math, different data movement."""
+    params, fst, consts, rc = _setup(complex_variant)
+    rays_o, tx, tx_view = _batch(rng, 2, complex_variant)
+    kw = dict(direction_tx=tx_view, compute_dtype=None, shell_chunk=4,
+              point_budget=4_000_000)
+
+    def run(flag):
+        monkeypatch.setenv("AVR_TPU_SCAN_SLICE", flag)
+        def f(p):
+            out = fused.render_fused(p, fst, consts, rc, rays_o, tx, **kw)
+            return jnp.sum(jnp.abs(out)), out
+        (_, out), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return np.asarray(out), grads
+
+    out0, g0 = run("0")
+    out1, g1 = run("1")
+    np.testing.assert_array_equal(out0, out1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        g0, g1,
+    )
+
+
 @pytest.mark.parametrize("point_budget", [4_000_000, 0])
 def test_fused_matches_oracle_gradients(rng, point_budget):
     params, fst, consts, rc = _setup()
