@@ -83,6 +83,11 @@ class TrainConfig:
     # TPU-specific knobs (no reference equivalent).
     compute_dtype: str = "bfloat16"  # matmul compute dtype for field queries
     shell_chunk: int = 1  # sample shells rendered per scan step
+    # Above this many points (bs·rays·samples) the renderer streams the
+    # field queries shell-chunk-wise instead of precomputing them all
+    # (render/fused.py point_budget) — caps peak memory on heavy shapes
+    # like the reference MeshRIR config (820k points/step at batch 4).
+    point_budget: int = 4_000_000
     remat: bool = True  # rematerialize the scan body in the backward pass
     steps_per_call: int = 1  # optimizer steps folded into one dispatch (scan)
     seed: int = 0

@@ -369,10 +369,23 @@ def _encode_klm(
     N = int(np.prod(lead)) if lead else 1
     xf = x.reshape(N, 3)
     L, K = static.n_levels, static.n_corners
-    F = table.shape[-1]
+    # AVR_TPU_PAD_F2=1: widen F=2 tables to F=4 with zero features for
+    # the gather. The only dense layout for a narrow bf16 [M, 2] gather
+    # output is entry-minor {0,1:T(2,128)}, which XLA's emitter writes
+    # at ~11.6 ns/row; the F=4 output shape matches the (pair-fused)
+    # flagship's, measured at ~4.4-6.5 ns/row. Costs one extra bf16
+    # payload operand in the backward sort. The zero half is sliced off
+    # after the K-contraction (autodiff pads the cotangent back).
     m = int(os.environ.get("AVR_TPU_KLM_MINOR", "32"))
     if N % m:
         return _encode_lm(table, static, x, cast)
+    _p2 = os.environ.get("AVR_TPU_PAD_F2", "0")
+    pad2 = table.shape[-1] == 2 and (
+        _p2 == "force" or (_p2 == "1" and hash_scatter.on_tpu())
+    )
+    if pad2:
+        table = jnp.concatenate([table, jnp.zeros_like(table)], axis=-1)
+    F = table.shape[-1]
     idx, w = _indices_weights_klm(static, xf)  # [L, K, N]
     feats = hash_scatter.gather_rows_lmajor(
         table, idx.reshape(L, K * N // m, m), cast
@@ -384,6 +397,8 @@ def _encode_klm(
         feats = feats.astype(w.dtype)
     prod = feats.reshape(L, K, N, F) * w[..., None]
     out = prod.sum(axis=1)  # [L, N, F] — planar sum, no relayout
+    if pad2:
+        out = out[..., :2]
     return jnp.moveaxis(out, 0, 1)  # [N, L, F]
 
 

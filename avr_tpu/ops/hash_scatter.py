@@ -758,14 +758,44 @@ def gather_rows_lmajor(table: Array, idx: Array, cast: Optional[str] = None) -> 
     """
     table = _maybe_pin_rowmajor(table)
     t = table.astype(cast) if cast is not None else table
-    return t[idx]
+    return _maybe_barrier(t[idx])
+
+
+def _maybe_barrier(g: Array) -> Array:
+    """AVR_TPU_GATHER_BARRIER=1: keep consumers out of the gather fusion.
+
+    XLA fuses the interpolation arithmetic into the gather's emitted
+    loop; on narrow-feature tables (F=2, the standard model) the fused
+    loop runs at ~11.6 ns/row where the bare gather runs at ~6
+    (measured on the reference MeshRIR shape, 131M rows). The flagship
+    F=4 pair-fused graph is FASTER fused (4.4 ns/row) — default off,
+    flip per-workload."""
+    if os.environ.get("AVR_TPU_GATHER_BARRIER", "0") == "1":
+        return jax.lax.optimization_barrier(g)
+    # AVR_TPU_GATHER_ROWMAJOR=1: pin the gather OUTPUT row-major. On the
+    # reference MeshRIR shape (131M rows into a bf16 [E,2] table) XLA
+    # assigns the gather an entry-minor {0,1:T(2,128)} output for its
+    # consumers and the emitter runs at 11.6 ns/row; with a row-major
+    # output it runs at 6.0 (isolated probe) — the relayout then lands
+    # on the 8× smaller K-summed features instead.
+    if (
+        os.environ.get("AVR_TPU_GATHER_ROWMAJOR", "0") == "1"
+        and on_tpu()
+        and len(jax.devices()) == 1
+    ):
+        from jax.experimental.layout import Layout, with_layout_constraint
+
+        return with_layout_constraint(
+            g, Layout(major_to_minor=tuple(range(g.ndim)))
+        )
+    return g
 
 
 def _gather_lmaj_fwd(table, idx, cast):
     table = _maybe_pin_rowmajor(table)
     t = table.astype(cast) if cast is not None else table
     return (
-        t[idx],
+        _maybe_barrier(t[idx]),
         (idx, table.shape, int(t.dtype == jnp.bfloat16),
          int(table.dtype == jnp.bfloat16)),
     )

@@ -124,6 +124,7 @@ def make_train_step(
             compute_dtype=compute_dtype,
             shell_chunk=tc.shell_chunk,
             remat=tc.remat,
+            point_budget=tc.point_budget,
         )
 
     def loss_fn(params, batch, dirs) -> Tuple[jax.Array, LossBundle]:
