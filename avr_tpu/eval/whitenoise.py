@@ -138,16 +138,41 @@ class WhitenoiseConfig:
     algo_name: str = "NormMUSIC"
     mic_radius: float = 0.0365
     force: bool = False
-    # bandpass variant extras
+    # bandpass variant extras (reference/whitenoise_bandpass_doa.py)
     bands_hz: Optional[List[Tuple[float, float]]] = None
+    band_names: Optional[List[str]] = None
     noise_seconds_list: Optional[List[float]] = None
+    # time-domain segmentation sweep: when segments_ms is set, the signal
+    # is cut into Tseg_ms frames with the given overlap factors and DoA
+    # runs per time segment (the bandpass script's framing) instead of
+    # per T_use-STFT-frame window (the long script's framing).
+    segments_ms: Optional[List[float]] = None
+    overlap_factors: Optional[List[float]] = None
+    max_segments: int = 64  # cap per condition (bounds runtime)
 
     @classmethod
     def from_yaml(cls, path: str) -> "WhitenoiseConfig":
+        """Load either this schema or the reference's YAML schemas.
+
+        Accepts the reference key spellings (whitenoise_bandpass_doa.py:
+        55-71): ``bands`` ({name, low, high} dicts) → bands_hz/band_names,
+        ``noise_seconds`` → noise_seconds_list; unknown keys (e.g.
+        ``which``) are ignored.
+        """
         import yaml
 
         with open(path) as f:
             raw = yaml.safe_load(f)
+        if "bands" in raw and "bands_hz" not in raw:
+            raw["bands_hz"] = [
+                (float(b["low"]), float(b["high"])) for b in raw["bands"]
+            ]
+            raw["band_names"] = [
+                str(b.get("name", f"bp_{b['low']:g}_{b['high']:g}"))
+                for b in raw["bands"]
+            ]
+        if "noise_seconds" in raw and "noise_seconds_list" not in raw:
+            raw["noise_seconds_list"] = raw["noise_seconds"]
         known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
         return cls(**known)
 
@@ -166,24 +191,46 @@ def run_whitenoise_eval(cfg: WhitenoiseConfig) -> "object":
     groups = list(doa_lib.iter_groups(data))
 
     bands = cfg.bands_hz or [None]
+    band_names = cfg.band_names or [
+        None if b is None else f"band{b[0]:g}-{b[1]:g}" for b in bands
+    ]
     lengths = cfg.noise_seconds_list or [cfg.long_noise_seconds]
     rows = []
-    for seed, stft_c, t_use, band, seconds in itertools.product(
-        cfg.seeds, cfg.stft_grid, cfg.T_use_list, bands, lengths
+    if cfg.segments_ms:
+        # bandpass-script framing: time segments of Tseg_ms with overlap,
+        # DoA per segment (reference/whitenoise_bandpass_doa.py:109-167)
+        framings = [
+            ("seg", t, ov)
+            for t, ov in itertools.product(
+                cfg.segments_ms, cfg.overlap_factors or [0.5]
+            )
+        ]
+    else:
+        framings = [("T", t, None) for t in cfg.T_use_list]
+    for seed, stft_c, (fkind, fval, fov), (band, bname), seconds in (
+        itertools.product(
+            cfg.seeds, cfg.stft_grid, framings, zip(bands, band_names), lengths
+        )
     ):
         tag = (
             f"seed{seed}_nfft{stft_c['nfft']}_hop{stft_c['hop']}_{stft_c['win']}"
-            f"_T{t_use}_len{seconds:g}"
-            + (f"_band{band[0]:g}-{band[1]:g}" if band else "")
+            + (f"_T{fval}" if fkind == "T" else f"_seg{fval:g}ms_ov{fov:g}")
+            + f"_len{seconds:g}"
+            + (f"_{bname}" if band else "")
         )
         cache = os.path.join(cfg.outdir, f"results_{tag}.pkl")
         if os.path.exists(cache) and not cfg.force:
             with open(cache, "rb") as f:
                 cond = pickle.load(f)
         else:
-            cond = _run_condition(
-                groups, cfg, seed, stft_c, t_use, band, seconds
-            )
+            if fkind == "seg":
+                cond = _run_condition_segmented(
+                    groups, cfg, seed, stft_c, fval, fov, band, seconds
+                )
+            else:
+                cond = _run_condition(
+                    groups, cfg, seed, stft_c, fval, band, seconds
+                )
             with open(cache, "wb") as f:
                 pickle.dump(cond, f)
         rows.append({"tag": tag, **cond["summary"]})
@@ -191,6 +238,79 @@ def run_whitenoise_eval(cfg: WhitenoiseConfig) -> "object":
     df = pd.DataFrame(rows).sort_values("mean_pred_vs_gt").reset_index(drop=True)
     df.to_csv(os.path.join(cfg.outdir, "summary_ranked.csv"), index=False)
     return df
+
+
+def seg_hop_samples(fs: int, tseg_ms: float, overlap: float) -> Tuple[int, int]:
+    """Segment length / hop in samples from (Tseg_ms, overlap factor)
+    (reference/whitenoise_bandpass_doa.py:109-112)."""
+    L = int(round(tseg_ms * 1e-3 * fs))
+    H = max(1, int(round(L * (1.0 - overlap))))
+    return L, H
+
+
+def _segment_doa(y, mic_xy, cfg, stft_c, tseg_ms, overlap):
+    """One DoA estimate per time segment; list of degrees."""
+    L, H = seg_hop_samples(cfg.fs, tseg_ms, overlap)
+    T = y.shape[-1]
+    starts = range(0, max(T - L + 1, 0), H)
+    angles = []
+    for i, s in enumerate(starts):
+        if i >= cfg.max_segments:
+            break
+        frame = y[..., s : s + L]
+        if frame.shape[-1] < stft_c["nfft"]:
+            continue
+        X = stft_condition(frame, stft_c["nfft"], stft_c["hop"], stft_c["win"])
+        sp = doa_lib.doa_spectrum(X, mic_xy, cfg.fs, stft_c["nfft"], cfg.algo_name)
+        angles.append(doa_lib.estimate_azimuth_deg(sp))
+    return angles
+
+
+def _run_condition_segmented(
+    groups, cfg: WhitenoiseConfig, seed, stft_c, tseg_ms, overlap, band, seconds
+):
+    """Bandpass-script condition: noise → (bandpass) → time segments →
+    per-segment full-STFT DoA → circular stats
+    (reference/whitenoise_bandpass_doa.py:218-341)."""
+    per_group = []
+    errs_gt, errs_true = [], []
+    for pred_group, ori_group, rx_pos, tx_pos in groups:
+        mic_center = rx_pos[:, :2].mean(axis=0)
+        mic_xy = doa_lib.circular_2d_array(
+            mic_center, rx_pos.shape[0], cfg.mic_radius
+        )
+        true_deg = (
+            math.degrees(
+                math.atan2(tx_pos[1] - mic_center[1], tx_pos[0] - mic_center[0])
+            )
+            % 360
+        )
+        angles = {}
+        for name, spec in (("pred", pred_group), ("gt", ori_group)):
+            y = convolve_noise_with_group(spec, seconds, cfg.fs, seed)
+            if band is not None:
+                y = apply_bandpass(y, band[0], band[1], cfg.fs)
+            seg_angles = _segment_doa(y, mic_xy, cfg, stft_c, tseg_ms, overlap)
+            mu, var, std = circ_stats_deg(seg_angles)
+            angles[name] = {
+                "mean": mu, "var": var, "std": std,
+                "n_segments": len(seg_angles), "windows": seg_angles,
+            }
+        e_gt = angular_error_deg(angles["pred"]["mean"], angles["gt"]["mean"])
+        e_true = angular_error_deg(angles["pred"]["mean"], true_deg)
+        errs_gt.append(e_gt)
+        errs_true.append(e_true)
+        per_group.append({"true_deg": true_deg, **angles,
+                          "err_pred_vs_gt": e_gt, "err_pred_vs_true": e_true})
+    return {
+        "per_group": per_group,
+        "summary": {
+            "mean_pred_vs_gt": float(np.mean(errs_gt)),
+            "median_pred_vs_gt": float(np.median(errs_gt)),
+            "mean_pred_vs_true": float(np.mean(errs_true)),
+            "n_groups": len(per_group),
+        },
+    }
 
 
 def _run_condition(groups, cfg: WhitenoiseConfig, seed, stft_c, t_use, band, seconds):

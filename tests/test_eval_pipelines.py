@@ -129,3 +129,33 @@ def test_whitenoise_bandpass(tmp_path):
     df = whitenoise.run_whitenoise_eval(cfg)
     assert len(df) == 1
     assert df["mean_pred_vs_gt"].iloc[0] < 20
+
+
+def test_whitenoise_segmented_reference_schema(tmp_path):
+    """The reference bandpass YAML schema (bands/noise_seconds/
+    segments_ms/overlap_factors — whitenoise_bandpass_doa.py:55-71) loads
+    and runs the time-segmented per-segment-DoA framing."""
+    import yaml
+
+    from test_doa import _fake_npz
+
+    npz = _fake_npz(tmp_path, [250.0])
+    cfg_yaml = {
+        "npz": npz, "outdir": str(tmp_path / "seg"), "fs": 16000,
+        "seeds": [0], "which": "pred",
+        "bands": [{"name": "bp_0p5_3k", "low": 500, "high": 3000}],
+        "noise_seconds": [1.0, 2.0],
+        "segments_ms": [100.0], "overlap_factors": [0.5],
+        "stft_grid": [{"nfft": 256, "hop": 128, "win": "hann"}],
+    }
+    path = tmp_path / "wn_bp.yml"
+    path.write_text(yaml.safe_dump(cfg_yaml))
+    cfg = whitenoise.WhitenoiseConfig.from_yaml(str(path))
+    assert cfg.bands_hz == [(500.0, 3000.0)]
+    assert cfg.band_names == ["bp_0p5_3k"]
+    assert cfg.noise_seconds_list == [1.0, 2.0]
+    df = whitenoise.run_whitenoise_eval(cfg)
+    assert len(df) == 2  # two noise lengths
+    assert (df["mean_pred_vs_gt"] < 20).all()
+    assert any("seg100ms_ov0.5" in t for t in df["tag"])
+    assert any("bp_0p5_3k" in t for t in df["tag"])
