@@ -24,6 +24,7 @@ Out-of-range inputs are clamped.
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from typing import Tuple
@@ -354,6 +355,172 @@ def _indices_weights_klm(
     return idx, w
 
 
+def _n_onehot_levels(static: HashGridStatic, feature_width: int) -> int:
+    """How many leading (coarsest) levels go through the one-hot matmul
+    path instead of the row gather (AVR_TPU_DENSE_ONEHOT = max table rows,
+    "0" = off, "auto" = measured default).
+
+    XLA's TPU gather emitter is latency-bound per ROW (~4.4-11.6 ns/row
+    regardless of row bytes, docs/PERFORMANCE.md), so coarse levels whose
+    dense tables are small are cheaper to read as two factored one-hot
+    contractions on the MXU (see _onehot_levels_lookup) — and their
+    backward becomes a transposed matmul, leaving the sort+scatter
+    gradient stream entirely. Fine hashed levels stay on the gather.
+    Only a PREFIX of levels qualifies (sizes are non-decreasing).
+
+    The auto default targets the narrow-table regime (F=2 standard
+    model, 11.6 ns/row fused gather — the reference MeshRIR config);
+    the pair-fused F=4 flagship gather already runs at 4.4 ns/row where
+    the matmul path only breaks even (measured), so auto keeps it off.
+    """
+    spec = os.environ.get("AVR_TPU_DENSE_ONEHOT", "auto")
+    if spec == "auto":
+        if not hash_scatter.on_tpu():
+            return 0
+        thresh = 65536 if feature_width <= 2 else 0
+    else:
+        thresh = int(spec)
+    d = 0
+    for lvl in range(static.n_levels):
+        if static.hashed[lvl] or static.sizes[lvl] > thresh:
+            break
+        d += 1
+    return d
+
+
+def _onehot_levels_lookup(
+    table: Array, static: HashGridStatic, idx_d: Array, cast: str = None
+) -> Array:
+    """Table rows for the D coarsest levels via factored one-hot matmuls.
+
+    idx_d: int32 [D, K, N] GLOBAL flat indices (level offsets included).
+    Returns [D, K, N, F] in the compute dtype. Per level, the local index
+    splits as a·128 + b and the lookup becomes
+
+        tmp[n, f·128+b] = Σ_a oh_a[n, a] · seg[a·128+b, f]   (MXU)
+        out[n, f]       = Σ_b oh_b[n, b] · tmp[n, f·128+b]   (VPU)
+
+    Each row of oh_a/oh_b has exactly one 1, so every contraction picks
+    exactly one table row — bit-identical to the gather (no summation).
+    tmp is laid out feature-major/lane-b so the b-reduction runs on
+    contiguous 128-lane planes. The backward is the transposed pair
+    (see _onehot_rows_bwd), replacing this level's share of the sorted
+    scatter-add with one small fp32-accumulated [A, 128·F] matmul.
+    """
+    outs = []
+    for lvl in range(idx_d.shape[0]):
+        off, size = static.offsets[lvl], static.sizes[lvl]
+        seg = jax.lax.slice_in_dim(table, off, off + size)  # [S, F]
+        loc = idx_d[lvl] - off  # [K, N] in [0, S)
+        outs.append(_onehot_rows(seg, loc, cast))  # [K, N, F]
+    return jnp.stack(outs, axis=0)
+
+
+_LANE_B = 128
+
+
+def _cdiv_int(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _onehot_factors(loc_flat: Array, a_rows: int, dtype) -> Tuple[Array, Array]:
+    """Factored one-hots of loc = a·128 + b, POINTS-MINOR: ([A, M], [B, M]).
+
+    The point axis stays minor (128 lanes, no padding); the one-hot axis
+    lives in sublanes — a [M, A] orientation would lane-pad A (e.g.
+    39 → 128, 3.3× wasted write bandwidth on the biggest intermediates).
+    """
+    a = loc_flat // _LANE_B
+    b = loc_flat - a * _LANE_B
+    ia = jax.lax.broadcasted_iota(jnp.int32, (a_rows, 1), 0)
+    ib = jax.lax.broadcasted_iota(jnp.int32, (_LANE_B, 1), 0)
+    oh_a = (ia == a[None, :]).astype(dtype)
+    oh_b = (ib == b[None, :]).astype(dtype)
+    return oh_a, oh_b
+
+
+def _onehot_rows_impl(seg: Array, loc: Array, cast: str) -> Array:
+    S, F = seg.shape
+    B = _LANE_B
+    a_rows = _cdiv_int(S, B)
+    if cast is not None:
+        seg = seg.astype(cast)
+    segp = jnp.pad(seg, ((0, a_rows * B - S), (0, 0)))
+    # [A, B, F] → [F, B, A] → [F·B, A]: row f·B+b, column a (table-sized)
+    segr = segp.reshape(a_rows, B, F).transpose(2, 1, 0).reshape(F * B, a_rows)
+    oh_a, oh_b = _onehot_factors(loc.reshape(-1), a_rows, segr.dtype)
+    # fp32 operands: the TPU MXU's default f32 dot is ONE bf16-rounded
+    # pass — HIGHEST (bf16x3, 24 mantissa bits) makes the one-hot's
+    # single product per column exact again. bf16 operands are exact in
+    # a single pass by construction (0/1 × bf16 value).
+    prec = (
+        jax.lax.Precision.HIGHEST if segr.dtype == jnp.float32 else None
+    )
+    tmp = jax.lax.dot_general(
+        segr, oh_a,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=segr.dtype,  # exact: one term per column
+        precision=prec,
+    )  # [F·B, M] — points minor
+    M = oh_a.shape[-1]
+    out2 = jnp.sum(tmp.reshape(F, B, M) * oh_b[None], axis=1)  # [F, M]
+    return jnp.moveaxis(out2.reshape(F, *loc.shape), 0, -1)  # [K, N, F]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _onehot_rows(seg: Array, loc: Array, cast: str = None) -> Array:
+    """seg[loc] via factored one-hot matmuls, custom VJP.
+
+    Mirrors gather_rows_lmajor's contract: ``cast`` converts the table
+    segment INSIDE the op (bf16 compute path), and the backward hands an
+    fp32-ACCUMULATED cotangent straight to the segment's dtype — the
+    default AD rule would reuse the forward dot's bf16
+    preferred_element_type, silently bf16-accumulating the hundreds of
+    per-row contributions a coarse level receives (the Pallas scatter
+    kernel this path replaces accumulates in fp32 on the MXU).
+    """
+    return _onehot_rows_impl(seg, loc, cast)
+
+
+def _onehot_rows_fwd(seg, loc, cast):
+    return (
+        _onehot_rows_impl(seg, loc, cast),
+        (loc, seg.shape, int(seg.dtype == jnp.bfloat16)),
+    )
+
+
+def _onehot_rows_bwd(cast, res, g):
+    loc, (S, F), seg_bf16 = res
+    seg_dtype = jnp.bfloat16 if seg_bf16 else jnp.float32
+    B = _LANE_B
+    a_rows = _cdiv_int(S, B)
+    oh_a, oh_b = _onehot_factors(loc.reshape(-1), a_rows, g.dtype)
+    M = oh_a.shape[-1]
+    # d_segr[f·B+b, a] = Σ_m g2[f, m] · oh_b[b, m] · oh_a[a, m]
+    g2 = jnp.moveaxis(g, -1, 0).reshape(F, 1, M)
+    d_tmp = (g2 * oh_b[None]).reshape(F * B, M)
+    d_segr = jax.lax.dot_general(
+        d_tmp, oh_a,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,  # fp32 accumulation
+        # f32 cotangents (parity/oracle path): keep each product exact —
+        # the default f32 MXU dot bf16-rounds the operands.
+        precision=(
+            jax.lax.Precision.HIGHEST if g.dtype == jnp.float32 else None
+        ),
+    )  # [F·B, A]
+    d_seg = (
+        d_segr.reshape(F, B, a_rows)
+        .transpose(2, 1, 0)
+        .reshape(a_rows * B, F)[:S]
+        .astype(seg_dtype)
+    )
+    return d_seg, jnp.zeros(loc.shape, dtype=jax.dtypes.float0)
+
+
+_onehot_rows.defvjp(_onehot_rows_fwd, _onehot_rows_bwd)
+
+
 def _encode_klm(
     table: Array, static: HashGridStatic, x: Array, cast: str = None
 ) -> Array:
@@ -387,9 +554,20 @@ def _encode_klm(
         table = jnp.concatenate([table, jnp.zeros_like(table)], axis=-1)
     F = table.shape[-1]
     idx, w = _indices_weights_klm(static, xf)  # [L, K, N]
-    feats = hash_scatter.gather_rows_lmajor(
-        table, idx.reshape(L, K * N // m, m), cast
-    )  # [L, K·N/m, m, F]
+    D = _n_onehot_levels(static, F)
+    if D:
+        dense = _onehot_levels_lookup(table, static, idx[:D], cast)
+        if D < L:
+            gfeats = hash_scatter.gather_rows_lmajor(
+                table, idx[D:].reshape(L - D, K * N // m, m), cast
+            ).reshape(L - D, K, N, F)
+            feats = jnp.concatenate([dense, gfeats], axis=0)
+        else:
+            feats = dense  # every level small enough for the matmul path
+    else:
+        feats = hash_scatter.gather_rows_lmajor(
+            table, idx.reshape(L, K * N // m, m), cast
+        )  # [L, K·N/m, m, F]
     idt = os.environ.get("AVR_TPU_INTERP_DTYPE", "bfloat16")
     if idt == "bfloat16" and feats.dtype == jnp.bfloat16:
         w = w.astype(feats.dtype)

@@ -35,8 +35,21 @@ def main():
         sys.exit("no device events (pid 3 / tid 3)")
     ev.sort(key=lambda e: e["ts"])
     span_ms = (ev[-1]["ts"] + ev[-1]["dur"] - ev[0]["ts"]) / 1e3
-    # trace_step.py records 3 steps
-    n_steps = 3
+    # Step count: argv[3] if given, else auto-detect from the modal
+    # occurrence count of expensive once-per-step ops (trace_step.py
+    # records 3 steps, bench_meshrir.py records 2 — assuming 3 silently
+    # deflated every per-step figure by 1.5x for 2-step traces).
+    if len(sys.argv) > 3:
+        n_steps = int(sys.argv[3])
+    else:
+        by_name = collections.Counter()
+        dur = collections.Counter()
+        for e in ev:
+            by_name[e["name"]] += 1
+            dur[e["name"]] += e["dur"]
+        top = [n for n, _ in dur.most_common(10)]
+        n_steps = sorted(by_name[n] for n in top)[len(top) // 2]  # median
+        n_steps = max(1, min(int(n_steps), 16))
     print(f"{paths[-1]}")
     print(f"device span {span_ms:.1f} ms over {n_steps} steps "
           f"({span_ms / n_steps:.1f} ms/step), {len(ev)} events")

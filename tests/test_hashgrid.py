@@ -268,3 +268,49 @@ def test_level_major_bf16_interp_close_to_fp32(rng, monkeypatch):
     )
     scale = np.abs(exact).max()
     assert np.abs(exact - approx).max() < 2e-2 * scale
+
+
+def test_dense_onehot_levels_match_gather(rng, monkeypatch):
+    """The factored one-hot matmul path for small coarse levels is
+    bit-identical to the row gather forward and allclose in the table
+    gradient (summation order differs), for both interpolation modes,
+    a partial (D < L) and a full (D == L) level split, and both fp32
+    and bf16 compute dtypes."""
+    monkeypatch.setenv("AVR_TPU_ENCODE_LAYOUT", "klm")
+    for interp in ("trilinear", "simplex"):
+        cfg = EncodingConfig(
+            n_levels=5, n_features_per_level=2, log2_hashmap_size=11,
+            base_resolution=4, per_level_scale=1.6, interpolation=interp,
+        )
+        static = hashgrid.build_static(cfg)
+        table = jnp.asarray(
+            rng.normal(size=(static.padded_entries, 2)), jnp.float32
+        )
+        x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+
+        def run(spec, dt=None):
+            monkeypatch.setenv("AVR_TPU_DENSE_ONEHOT", spec)
+            e = hashgrid.encode(table, static, x, compute_dtype=dt)
+            g = jax.grad(
+                lambda t: jnp.sum(
+                    jnp.cos(hashgrid.encode(t, static, x, compute_dtype=dt))
+                )
+            )(table)
+            return np.asarray(e, np.float64), np.asarray(g, np.float64)
+
+        # partial split: only levels below 200 rows take the matmul path
+        sizes = static.sizes
+        assert sizes[0] < 200 < sizes[-1]
+        e0, g0 = run("0")
+        for spec in ("200", str(max(sizes))):
+            e1, g1 = run(spec)
+            np.testing.assert_array_equal(e0, e1)
+            np.testing.assert_allclose(g0, g1, rtol=0, atol=1e-5)
+
+        # bf16 compute dtype: forward stays bit-identical (both paths
+        # read the same bf16-cast rows), gradient bf16-grade
+        e0b, g0b = run("0", jnp.bfloat16)
+        e1b, g1b = run("200", jnp.bfloat16)
+        np.testing.assert_array_equal(e0b, e1b)
+        scale = max(np.abs(g0b).max(), 1e-30)
+        assert np.abs(g0b - g1b).max() < 2e-2 * scale
