@@ -2,6 +2,7 @@
 
 Commands mirror the reference's per-script entry points:
   train      — avr_runner.py          (training / resume)
+  render     — (new) batch IR inference from a trained checkpoint
   hpo        — optuna_avr_runner*.py  (hyper-parameter search)
   doa        — plot_eval.run_doa_on_npz / DoA_val_res.py
   das        — plot_eval.run_delay_and_sum_on_npz
@@ -57,6 +58,89 @@ def main(argv=None) -> None:
                 a.npz, a.fs, a.mic_radius, a.n_fft, save_path=a.save
             )
         print(json.dumps(doa.summarize(res), indent=2))
+    elif cmd == "render":
+        import argparse
+
+        import numpy as np
+
+        from avr_tpu.config import AVRConfig
+        from avr_tpu.data.wav import write_wav
+        from avr_tpu.eval.rotate import make_render_fn
+        from avr_tpu.train.runner import AVRRunner
+
+        p = argparse.ArgumentParser(
+            prog="avr_tpu render",
+            description="Render IRs from a trained checkpoint for a list "
+            "of (rx, tx[, ch_idx]) queries (npz with pos_rx [N,3], "
+            "pos_tx [N,3], optional rot_tx [N,3]/ch_idx [N]).",
+        )
+        p.add_argument("--config", required=True,
+                       help="training config or logdir avr_conf.yml")
+        p.add_argument("--queries", required=True, help="npz of positions")
+        p.add_argument("--out", required=True, help="output npz path")
+        p.add_argument("--batch", type=int, default=None,
+                       help="queries per jitted render call "
+                            "(default: train batch size)")
+        p.add_argument("--time_domain", action="store_true",
+                       help="also store irfft waveforms under key 'ir'")
+        p.add_argument("--wav_dir", default=None,
+                       help="additionally write one WAV per query")
+        a = p.parse_args(rest)
+        cfg = AVRConfig.from_yaml(a.config)
+        cfg.train.load_ckpt = True
+        q = np.load(a.queries)
+        n = q["pos_rx"].shape[0]
+        # inference needs no dataset: stub both splits with the queries
+        # (zero targets) so the runner only supplies params + render fn
+        from avr_tpu.data.loaders import Dataset
+
+        F_bins = cfg.model.signal_output_dim // 2 + 1
+        stub = Dataset(
+            wave=np.zeros((n, F_bins), np.complex64),
+            pos_rx=np.asarray(q["pos_rx"], np.float32),
+            pos_tx=np.asarray(q["pos_tx"], np.float32),
+            rot_tx=(np.asarray(q["rot_tx"], np.float32)
+                    if "rot_tx" in q else None),
+            ch_idx=(np.asarray(q["ch_idx"], np.int32)
+                    if "ch_idx" in q else None),
+            dataset_type=cfg.path.dataset_type,
+            fs=cfg.render.fs, seq_len=cfg.model.signal_output_dim,
+        )
+        runner = AVRRunner(cfg, None, train_data=stub, test_data=stub)
+        render_fn = make_render_fn(runner)
+        bs = a.batch or cfg.train.batch_size
+        specs = []
+        for s in range(0, n, bs):
+            sl = slice(s, min(s + bs, n))
+            kw = {}
+            if "ch_idx" in q:
+                kw["ch_idx"] = q["ch_idx"][sl]
+            if "rot_tx" in q:
+                kw["rot_tx"] = q["rot_tx"][sl]
+            specs.append(
+                render_fn(q["pos_rx"][sl], q["pos_tx"][sl], **kw)
+            )
+        spec = np.concatenate(specs, axis=0)  # [N, F] complex64
+        out = {"spec": spec, "pos_rx": q["pos_rx"], "pos_tx": q["pos_tx"],
+               "fs": cfg.render.fs}
+        if a.time_domain or a.wav_dir:
+            ir = np.fft.irfft(
+                spec, n=cfg.model.signal_output_dim, axis=-1
+            ).astype(np.float32)
+            if a.time_domain:
+                out["ir"] = ir
+            if a.wav_dir:
+                import os as _os
+
+                _os.makedirs(a.wav_dir, exist_ok=True)
+                peak = max(float(np.abs(ir).max()), 1e-9)
+                for i in range(n):
+                    write_wav(
+                        _os.path.join(a.wav_dir, f"ir_{i:05d}.wav"),
+                        ir[i] / peak, cfg.render.fs,
+                    )
+        np.savez(a.out, **out)
+        print(f"rendered {n} IRs -> {a.out}")
     elif cmd == "rotate":
         import argparse
 

@@ -146,10 +146,12 @@ def make_render_fn(runner):
         cfg.render.n_azi, cfg.render.n_ele, key=jax.random.PRNGKey(1234)
     )
 
-    def render_fn(pos_rx, pos_tx, ch_idx=None):
+    def render_fn(pos_rx, pos_tx, ch_idx=None, rot_tx=None):
         batch = {"pos_rx": pos_rx, "pos_tx": pos_tx}
         if ch_idx is not None:
             batch["ch_idx"] = np.asarray(ch_idx, np.int32)
+        if rot_tx is not None:
+            batch["rot_tx"] = np.asarray(rot_tx, np.float32)
         out = np.asarray(
             runner._eval_render(runner.state.params, runner._device_batch(batch), dirs)
         )

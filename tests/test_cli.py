@@ -56,3 +56,51 @@ def test_cli_tools_meshrir_split(tmp_path, capsys):
     main(["tools", "meshrir-split", str(src), "--test_ratio", "0.2"])
     res = json.loads(capsys.readouterr().out)
     assert res["train"] + res["test"] == 20 and res["test"] == 4
+
+
+def test_cli_render_from_checkpoint(tmp_path):
+    """`python -m avr_tpu render` renders IRs from a trained checkpoint
+    for an npz of (rx, tx) queries, with time-domain + WAV export."""
+    import numpy as np
+
+    from avr_tpu.__main__ import main
+    from avr_tpu.config import AVRConfig, PathConfig, TrainConfig
+    from avr_tpu.data import synthetic
+    from avr_tpu.train.runner import AVRRunner
+    from conftest import tiny_model_config, tiny_render_config
+
+    room = synthetic.RoomSpec(size=(4.0, 3.0, 2.5), max_order=1, fs=4000,
+                              seq_len=256)
+    d = str(tmp_path / "simu")
+    synthetic.write_simu_dataset(d, room, n=8)
+    rc = tiny_render_config(n_samples=4, n_azi=4, n_ele=2, fs=4000)
+    rc.far = 6.0
+    rc.xyz_min, rc.xyz_max = [0.0] * 3, [4.0] * 3
+    cfg = AVRConfig(
+        path=PathConfig(expname="r", dataset_type="Simu",
+                        logdir=str(tmp_path / "logs")),
+        render=rc,
+        train=TrainConfig(lr=5e-3, total_iterations=2, save_freq=2,
+                          val_freq=100, batch_size=4,
+                          compute_dtype="float32", seed=0),
+        model=tiny_model_config(signal_output_dim=256),
+    )
+    runner = AVRRunner(cfg, d)
+    runner.train()
+    conf = f"{runner.logdir}/avr_conf.yml"
+
+    rng = np.random.default_rng(0)
+    queries = str(tmp_path / "queries.npz")
+    np.savez(queries,
+             pos_rx=rng.uniform(1, 3, (5, 3)).astype(np.float32),
+             pos_tx=rng.uniform(1, 3, (5, 3)).astype(np.float32))
+    out = str(tmp_path / "irs.npz")
+    wavs = str(tmp_path / "wavs")
+    main(["render", "--config", conf, "--queries", queries, "--out", out,
+          "--batch", "4", "--time_domain", "--wav_dir", wavs])
+
+    z = np.load(out)
+    assert z["spec"].shape == (5, 129) and z["spec"].dtype == np.complex64
+    assert np.isfinite(z["spec"]).all()
+    assert z["ir"].shape == (5, 256)
+    assert len(os.listdir(wavs)) == 5
