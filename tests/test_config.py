@@ -80,3 +80,26 @@ def test_extra_keys_preserved(tmp_path):
     )
     cfg = AVRConfig.from_yaml(str(p))
     assert cfg.train.extra["mystery_knob"] == 7
+
+
+ALL_REF_CONFIGS = sorted(
+    glob.glob("/root/reference/config_files/**/*.yml", recursive=True)
+)
+
+
+@pytest.mark.skipif(not ALL_REF_CONFIGS, reason="reference not mounted")
+def test_every_reference_yaml_loads_and_builds():
+    """ALL reference YAMLs (top-level + 180+ generated control-experiment
+    variants incl. every channel-embedding/DAS combination) parse into the
+    typed config AND construct field statics — the full model-config
+    surface of make_config_for_control_exp.py / the Optuna mutators."""
+    from avr_tpu.models import field as field_lib
+
+    built = 0
+    for path in ALL_REF_CONFIGS:
+        cfg = AVRConfig.from_yaml(path)
+        assert cfg.model.signal_output_dim > 0, path
+        fst = field_lib.build_field(cfg.model, cfg.path.dataset_type)
+        assert fst.signal_output_dim == cfg.model.signal_output_dim, path
+        built += 1
+    assert built >= 200, f"only {built} reference configs found"
