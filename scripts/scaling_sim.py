@@ -7,16 +7,20 @@ partitioner inserted (the psum over 'ray' for the spherical integral and
 the gradient all-reduce — parallel/mesh.py docstring; the TPU-native
 analog of the reference's NCCL all-reduce, avr_runner_ddp.py:45).
 
-Usage: python scripts/scaling_sim.py  (CPU only; sets the fake-device
-flag itself, must be launched fresh, not inside another jax process.)
+Usage: python scripts/scaling_sim.py [n_virtual_devices=8]  (CPU only;
+sets the fake-device flag itself, must be launched fresh, not inside
+another jax process. 16 exercises the BASELINE.md 16-chip mesh shapes,
+incl. a data=4 x ray=4 grid.)
 """
 
 import os
 import re
 import sys
 
+N_DEV = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={N_DEV}"
 )
 
 import jax  # noqa: E402
@@ -34,9 +38,8 @@ from avr_tpu.render.common import make_consts  # noqa: E402
 from avr_tpu.train.state import init_state, make_train_step  # noqa: E402
 
 
-def run(n_devices: int, data_parallel=None):
+def run(n_devices: int, data_parallel=None, bs: int = 8):
     cfg = _flagship_config(small=True)
-    bs = 8
     cfg.train.batch_size = bs
     plan = make_mesh_plan(
         jax.devices()[:n_devices], batch_size=bs, data_parallel=data_parallel
@@ -70,16 +73,20 @@ def run(n_devices: int, data_parallel=None):
 
 
 def main():
-    ref_total = None
     # (8, 2) forces a data=2 × ray=4 mesh: rays shard over 'ray' and the
     # spherical integral's psum + gradient all-reduce both appear.
-    for n, dp in ((1, None), (2, None), (4, None), (8, None), (8, 2)):
-        plan, total, colls, n_ar = run(n, dp)
-        if ref_total is None:
-            ref_total = total
+    # Each batch size gets its own single-device reference loss.
+    meshes = [(1, None, 8), (2, None, 8), (4, None, 8), (8, None, 8),
+              (8, 2, 8)]
+    if N_DEV >= 16:
+        meshes += [(1, None, 16), (16, None, 16), (16, 4, 16)]
+    ref_by_bs = {}
+    for n, dp, bs in meshes:
+        plan, total, colls, n_ar = run(n, dp, bs)
+        ref_total = ref_by_bs.setdefault(bs, total)
         rel = abs(total - ref_total) / max(abs(ref_total), 1e-12)
         print(
-            f"devices={n} mesh=(data={plan.n_data} x ray={plan.n_ray}) "
+            f"devices={n} bs={bs} mesh=(data={plan.n_data} x ray={plan.n_ray}) "
             f"loss={total:.8f} rel-vs-1dev={rel:.2e} "
             f"all-reduces={n_ar} collectives={colls}",
             flush=True,

@@ -104,3 +104,49 @@ def test_cli_render_from_checkpoint(tmp_path):
     assert np.isfinite(z["spec"]).all()
     assert z["ir"].shape == (5, 256)
     assert len(os.listdir(wavs)) == 5
+
+
+def test_cli_render_raf_with_rot_tx(tmp_path):
+    """render CLI through the complex (RAF) variant: rot_tx queries are
+    forwarded to the renderer's direction_tx."""
+    import numpy as np
+
+    from avr_tpu.__main__ import main
+    from avr_tpu.config import AVRConfig, PathConfig, TrainConfig
+    from avr_tpu.data import synthetic
+    from avr_tpu.train.runner import AVRRunner
+    from conftest import tiny_model_config, tiny_render_config
+
+    room = synthetic.RoomSpec(size=(4.0, 3.0, 2.5), max_order=1, fs=4000,
+                              seq_len=256)
+    d = str(tmp_path / "raf")
+    synthetic.write_raf_dataset(d, room, n=8)
+    rc = tiny_render_config(n_samples=4, n_azi=4, n_ele=2, fs=4000)
+    rc.far = 6.0
+    rc.xyz_min, rc.xyz_max = [0.0] * 3, [4.0] * 3
+    cfg = AVRConfig(
+        path=PathConfig(expname="raf", dataset_type="RAF",
+                        logdir=str(tmp_path / "logs")),
+        render=rc,
+        train=TrainConfig(lr=5e-3, total_iterations=2, save_freq=2,
+                          val_freq=100, batch_size=4,
+                          compute_dtype="float32", seed=0),
+        model=tiny_model_config(signal_output_dim=256, complex_variant=True),
+    )
+    runner = AVRRunner(cfg, d)
+    runner.train()
+
+    rng = np.random.default_rng(0)
+    rot = rng.normal(size=(3, 3))
+    rot /= np.linalg.norm(rot, axis=-1, keepdims=True)
+    queries = str(tmp_path / "q.npz")
+    np.savez(queries,
+             pos_rx=rng.uniform(1, 3, (3, 3)).astype(np.float32),
+             pos_tx=rng.uniform(1, 3, (3, 3)).astype(np.float32),
+             rot_tx=rot.astype(np.float32))
+    out = str(tmp_path / "irs.npz")
+    main(["render", "--config", f"{runner.logdir}/avr_conf.yml",
+          "--queries", queries, "--out", out])
+    z = np.load(out)
+    assert z["spec"].shape == (3, 129)
+    assert np.isfinite(z["spec"]).all()
