@@ -42,6 +42,8 @@ def main():
         out = render_fused(
             p, fst, consts, cfg.render, rays_o, tx, direction_tx=tx_view,
             key=key, shell_chunk=cfg.train.shell_chunk,
+            # trace-time A/B toggle for the scan's rematerialization
+            remat=os.environ.get("AVR_TPU_AB_REMAT", "1") == "1",
         )
         return jnp.mean(jnp.abs(out - target))
 

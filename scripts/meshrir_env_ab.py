@@ -46,7 +46,9 @@ def main():
 
     def loss_fn(p):
         out = render_fused(
-            p, fst, consts, cfg.render, rays_o, tx, key=key, shell_chunk=2
+            p, fst, consts, cfg.render, rays_o, tx, key=key, shell_chunk=2,
+            # trace-time A/B toggle for the scan's rematerialization
+            remat=os.environ.get("AVR_TPU_AB_REMAT", "1") == "1",
         )
         return jnp.mean(jnp.abs(out - target))
 
