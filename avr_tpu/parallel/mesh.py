@@ -17,6 +17,16 @@ latency-hiding scheduler overlaps them with the backward pass.
 The model is tiny (MLPs + hash tables), so parameters stay fully
 replicated; the scaling dimensions are batch and rays, exactly mirroring
 how the reference scales (batch over GPUs; rays were never scaled there).
+
+Why no 'freq' mesh axis (SURVEY.md §7 floated "frequency bins sharded
+where profitable"): frequency bins are born INSIDE the step from an
+rFFT along the time axis, so sharding F would put an all-to-all around
+every per-shell FFT just to split an elementwise phase rotation whose
+cost is ~1% of the step — while the big tensors ([bs, R, C, T] signal
+chunks, the hash-table update streams) scale with rays and batch, not
+F. Rays already give the same memory relief with one psum at the very
+end. A freq axis would only pay if the phase-rotated spectrum itself
+dominated memory, which the shell-chunked renderer avoids by design.
 """
 
 from __future__ import annotations
