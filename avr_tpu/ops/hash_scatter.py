@@ -597,13 +597,21 @@ def _gather_fwd(table, idx):
 # Below this many update rows the XLA scatter is cheap enough that the
 # sort + kernel launch doesn't pay (dir/tx encodings see only R or batch
 # points per step; the pos encodings see rays x samples x levels x 8).
+# AVR_TPU_SORTED_MIN_ROWS overrides for A/B (the sorted kernel's cost
+# scales with TABLE tiles, not stream rows, so the crossover depends on
+# the table size: measured on MeshRIR's 21M-row dir table, the 256k-row
+# dir stream is FASTER on the XLA unique-scatter path).
+def _sorted_min_rows() -> int:
+    return int(os.environ.get("AVR_TPU_SORTED_MIN_ROWS", _SORTED_MIN_ROWS))
+
+
 _SORTED_MIN_ROWS = 1 << 18
 
 
 def _gather_bwd(res, g):
     idx, (E, F) = res
     flat = idx.reshape(-1)
-    impl = "xla" if flat.shape[0] < _SORTED_MIN_ROWS else None
+    impl = "xla" if flat.shape[0] < _sorted_min_rows() else None
     d = scatter_add_rows(
         flat, g.reshape(-1, F).astype(jnp.float32), E, impl=impl
     ).astype(g.dtype)
@@ -695,7 +703,7 @@ def _gather_lvl_bwd(res, g):
     idx, (E, F), is_bf16 = res
     L, C = idx.shape[-2], idx.shape[-1]
     n = int(np.prod(idx.shape)) // (L * C)
-    if n * C < _SORTED_MIN_ROWS // L:
+    if n * C < _sorted_min_rows() // L:
         d = scatter_add_rows(
             idx.reshape(-1), g.reshape(-1, F).astype(jnp.float32), E, impl="xla"
         ).astype(g.dtype)
@@ -833,7 +841,7 @@ def _gather_lmaj_bwd(cast, res, g):
     out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
     L = idx.shape[0]
     M = int(np.prod(idx.shape)) // L
-    if L * M < _SORTED_MIN_ROWS:
+    if L * M < _sorted_min_rows():
         d = scatter_add_rows(
             idx.reshape(-1), g.reshape(-1, F).astype(jnp.float32), E, impl="xla"
         ).astype(out_dtype)
