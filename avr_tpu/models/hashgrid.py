@@ -355,6 +355,13 @@ def _indices_weights_klm(
     return idx, w
 
 
+_LANE_B = 128  # one-hot factor: local index = a·128 + b (b = lane dim)
+
+
+def _cdiv_int(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def _n_onehot_levels(static: HashGridStatic, feature_width: int) -> int:
     """How many leading (coarsest) levels go through the one-hot matmul
     path instead of the row gather (AVR_TPU_DENSE_ONEHOT = max table rows,
@@ -421,13 +428,6 @@ def _onehot_levels_lookup(
         loc = idx_d[lvl] - off  # [K, N] in [0, S)
         outs.append(_onehot_rows(seg, loc, cast))  # [K, N, F]
     return jnp.stack(outs, axis=0)
-
-
-_LANE_B = 128
-
-
-def _cdiv_int(a: int, b: int) -> int:
-    return -(-a // b)
 
 
 def _onehot_factors(loc_flat: Array, a_rows: int, dtype) -> Tuple[Array, Array]:
