@@ -106,21 +106,38 @@ def main(argv=None) -> None:
             dataset_type=cfg.path.dataset_type,
             fs=cfg.render.fs, seq_len=cfg.model.signal_output_dim,
         )
+        # inference never needs the DAS group-8 sampling invariant
+        cfg.train.extra["group_sampling"] = False
         runner = AVRRunner(cfg, None, train_data=stub, test_data=stub)
+        if runner._ckpt_mgr.latest_step() is None:
+            sys.exit(
+                f"no checkpoint under {runner.logdir}/ckpts — refusing to "
+                "render from randomly-initialized parameters"
+            )
         render_fn = make_render_fn(runner)
         bs = a.batch or cfg.train.batch_size
+        def batch_slice(arr, s):
+            """Slice [s:s+bs], padding a trailing partial batch by
+            repeating its last row — a second batch shape would force a
+            fresh remote jit compile (1-15 min on the axon backend)."""
+            part = arr[s : min(s + bs, n)]
+            if part.shape[0] < bs:
+                pad = np.repeat(part[-1:], bs - part.shape[0], axis=0)
+                part = np.concatenate([part, pad], axis=0)
+            return part
+
         specs = []
         for s in range(0, n, bs):
-            sl = slice(s, min(s + bs, n))
             kw = {}
             if "ch_idx" in q:
-                kw["ch_idx"] = q["ch_idx"][sl]
+                kw["ch_idx"] = batch_slice(q["ch_idx"], s)
             if "rot_tx" in q:
-                kw["rot_tx"] = q["rot_tx"][sl]
+                kw["rot_tx"] = batch_slice(q["rot_tx"], s)
             specs.append(
-                render_fn(q["pos_rx"][sl], q["pos_tx"][sl], **kw)
+                render_fn(batch_slice(q["pos_rx"], s),
+                          batch_slice(q["pos_tx"], s), **kw)
             )
-        spec = np.concatenate(specs, axis=0)  # [N, F] complex64
+        spec = np.concatenate(specs, axis=0)[:n]  # [N, F] complex64
         out = {"spec": spec, "pos_rx": q["pos_rx"], "pos_tx": q["pos_tx"],
                "fs": cfg.render.fs}
         if a.time_domain or a.wav_dir:

@@ -266,14 +266,16 @@ def _segment_doa(y, mic_xy, cfg, stft_c, tseg_ms, overlap):
     return angles
 
 
-def _run_condition_segmented(
-    groups, cfg: WhitenoiseConfig, seed, stft_c, tseg_ms, overlap, band, seconds
-):
-    """Bandpass-script condition: noise → (bandpass) → time segments →
-    per-segment full-STFT DoA → circular stats
-    (reference/whitenoise_bandpass_doa.py:218-341)."""
+def _condition_over_groups(groups, cfg, seed, band, seconds, angle_fn):
+    """Shared per-group loop of every condition runner.
+
+    angle_fn(y [M, T], mic_xy) -> list of per-window/segment DoA degrees
+    is the only part that differs between the long-noise (T_use STFT
+    windows) and bandpass (Tseg time segments) framings.
+    """
     per_group = []
     errs_gt, errs_true = [], []
+    n_empty = 0
     for pred_group, ori_group, rx_pos, tx_pos in groups:
         mic_center = rx_pos[:, :2].mean(axis=0)
         mic_xy = doa_lib.circular_2d_array(
@@ -290,11 +292,13 @@ def _run_condition_segmented(
             y = convolve_noise_with_group(spec, seconds, cfg.fs, seed)
             if band is not None:
                 y = apply_bandpass(y, band[0], band[1], cfg.fs)
-            seg_angles = _segment_doa(y, mic_xy, cfg, stft_c, tseg_ms, overlap)
-            mu, var, std = circ_stats_deg(seg_angles)
+            win_angles = angle_fn(y, mic_xy)
+            if not win_angles:
+                n_empty += 1
+            mu, var, std = circ_stats_deg(win_angles)
             angles[name] = {
                 "mean": mu, "var": var, "std": std,
-                "n_segments": len(seg_angles), "windows": seg_angles,
+                "n_windows": len(win_angles), "windows": win_angles,
             }
         e_gt = angular_error_deg(angles["pred"]["mean"], angles["gt"]["mean"])
         e_true = angular_error_deg(angles["pred"]["mean"], true_deg)
@@ -302,6 +306,17 @@ def _run_condition_segmented(
         errs_true.append(e_true)
         per_group.append({"true_deg": true_deg, **angles,
                           "err_pred_vs_gt": e_gt, "err_pred_vs_true": e_true})
+    if n_empty:
+        # e.g. segments longer than the synthesized signal, or segments
+        # shorter than one STFT frame — the condition is meaningless
+        import warnings
+
+        warnings.warn(
+            f"{n_empty} signal(s) produced zero DoA windows for this "
+            "condition (segment/window longer than the signal?) — its "
+            "summary contains NaN",
+            stacklevel=3,
+        )
     return {
         "per_group": per_group,
         "summary": {
@@ -309,45 +324,28 @@ def _run_condition_segmented(
             "median_pred_vs_gt": float(np.median(errs_gt)),
             "mean_pred_vs_true": float(np.mean(errs_true)),
             "n_groups": len(per_group),
+            "n_empty_signals": n_empty,
         },
     }
+
+
+def _run_condition_segmented(
+    groups, cfg: WhitenoiseConfig, seed, stft_c, tseg_ms, overlap, band, seconds
+):
+    """Bandpass-script condition: noise → (bandpass) → time segments →
+    per-segment full-STFT DoA → circular stats
+    (reference/whitenoise_bandpass_doa.py:218-341)."""
+    return _condition_over_groups(
+        groups, cfg, seed, band, seconds,
+        lambda y, mic_xy: _segment_doa(y, mic_xy, cfg, stft_c, tseg_ms, overlap),
+    )
 
 
 def _run_condition(groups, cfg: WhitenoiseConfig, seed, stft_c, t_use, band, seconds):
-    per_group = []
-    errs_gt, errs_true = [], []
-    for pred_group, ori_group, rx_pos, tx_pos in groups:
-        mic_center = rx_pos[:, :2].mean(axis=0)
-        mic_xy = doa_lib.circular_2d_array(mic_center, rx_pos.shape[0], cfg.mic_radius)
-        true_deg = (
-            math.degrees(
-                math.atan2(tx_pos[1] - mic_center[1], tx_pos[0] - mic_center[0])
-            )
-            % 360
+    def angle_fn(y, mic_xy):
+        X = stft_condition(y, stft_c["nfft"], stft_c["hop"], stft_c["win"])
+        return sliding_window_doa(
+            X, mic_xy, cfg.fs, stft_c["nfft"], t_use, cfg.algo_name
         )
-        angles = {}
-        for name, spec in (("pred", pred_group), ("gt", ori_group)):
-            y = convolve_noise_with_group(spec, seconds, cfg.fs, seed)
-            if band is not None:
-                y = apply_bandpass(y, band[0], band[1], cfg.fs)
-            X = stft_condition(y, stft_c["nfft"], stft_c["hop"], stft_c["win"])
-            win_angles = sliding_window_doa(
-                X, mic_xy, cfg.fs, stft_c["nfft"], t_use, cfg.algo_name
-            )
-            mu, var, std = circ_stats_deg(win_angles)
-            angles[name] = {"mean": mu, "var": var, "std": std, "windows": win_angles}
-        e_gt = angular_error_deg(angles["pred"]["mean"], angles["gt"]["mean"])
-        e_true = angular_error_deg(angles["pred"]["mean"], true_deg)
-        errs_gt.append(e_gt)
-        errs_true.append(e_true)
-        per_group.append({"true_deg": true_deg, **angles,
-                          "err_pred_vs_gt": e_gt, "err_pred_vs_true": e_true})
-    return {
-        "per_group": per_group,
-        "summary": {
-            "mean_pred_vs_gt": float(np.mean(errs_gt)),
-            "median_pred_vs_gt": float(np.median(errs_gt)),
-            "mean_pred_vs_true": float(np.mean(errs_true)),
-            "n_groups": len(per_group),
-        },
-    }
+
+    return _condition_over_groups(groups, cfg, seed, band, seconds, angle_fn)

@@ -356,10 +356,7 @@ def _indices_weights_klm(
 
 
 _LANE_B = 128  # one-hot factor: local index = a·128 + b (b = lane dim)
-
-
-def _cdiv_int(a: int, b: int) -> int:
-    return -(-a // b)
+_cdiv_int = hash_scatter._cdiv  # ceil division
 
 
 def _n_onehot_levels(static: HashGridStatic, feature_width: int) -> int:

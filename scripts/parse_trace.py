@@ -1,6 +1,12 @@
 """Summarize a jax.profiler chrome trace (from scripts/trace_step.py).
 
-Usage: python scripts/parse_trace.py /tmp/avr_trace [top_n]
+Usage: python scripts/parse_trace.py /tmp/avr_trace [top_n] [n_steps]
+
+n_steps defaults to the MEDIAN occurrence count of the top-duration ops
+— correct when those ops run once per step (the usual case here), but
+pass it explicitly if hot ops run k>1 times per step (e.g. fwd+bwd
+instances sharing a fusion name), or every per-step figure divides by
+the wrong count.
 
 Finds the newest vm.trace.json.gz under the logdir, aggregates device-op
 durations (pid 3 / tid 3 on the axon backend), prints the top ops per

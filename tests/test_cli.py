@@ -150,3 +150,31 @@ def test_cli_render_raf_with_rot_tx(tmp_path):
     z = np.load(out)
     assert z["spec"].shape == (3, 129)
     assert np.isfinite(z["spec"]).all()
+
+
+def test_cli_render_refuses_without_checkpoint(tmp_path):
+    """render must not silently produce garbage from random init."""
+    import numpy as np
+    import pytest
+
+    from avr_tpu.__main__ import main
+    from avr_tpu.config import AVRConfig, PathConfig, TrainConfig
+    from conftest import tiny_model_config, tiny_render_config
+
+    cfg = AVRConfig(
+        path=PathConfig(expname="empty", dataset_type="Simu",
+                        logdir=str(tmp_path / "logs")),
+        render=tiny_render_config(n_samples=4, n_azi=4, n_ele=2, fs=4000),
+        train=TrainConfig(batch_size=4, compute_dtype="float32"),
+        model=tiny_model_config(signal_output_dim=256),
+    )
+    conf = str(tmp_path / "c.yml")
+    cfg.to_yaml(conf)
+    queries = str(tmp_path / "q.npz")
+    rng = np.random.default_rng(0)
+    np.savez(queries,
+             pos_rx=rng.uniform(1, 3, (2, 3)).astype(np.float32),
+             pos_tx=rng.uniform(1, 3, (2, 3)).astype(np.float32))
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        main(["render", "--config", conf, "--queries", queries,
+              "--out", str(tmp_path / "o.npz")])
