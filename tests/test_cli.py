@@ -178,3 +178,48 @@ def test_cli_render_refuses_without_checkpoint(tmp_path):
     with pytest.raises(SystemExit, match="no checkpoint"):
         main(["render", "--config", conf, "--queries", queries,
               "--out", str(tmp_path / "o.npz")])
+
+
+def test_cli_render_ignores_group8_sampling(tmp_path):
+    """Inference must not trip the DAS group-8 train-sampler invariant
+    (query counts are arbitrary)."""
+    import numpy as np
+
+    from avr_tpu.__main__ import main
+    from avr_tpu.config import AVRConfig, PathConfig, TrainConfig
+    from avr_tpu.data import synthetic
+    from avr_tpu.train.runner import AVRRunner
+    from conftest import tiny_model_config, tiny_render_config
+
+    room = synthetic.RoomSpec(size=(4.0, 3.0, 2.5), max_order=1, fs=4000,
+                              seq_len=256)
+    d = str(tmp_path / "arr")
+    synthetic.write_real_env_dataset(d, room, n_groups=2, seed=0)
+    rc = tiny_render_config(n_samples=4, n_azi=4, n_ele=2, fs=4000)
+    rc.far = 6.0
+    rc.xyz_min, rc.xyz_max = [0.0] * 3, [4.0] * 3
+    cfg = AVRConfig(
+        path=PathConfig(expname="g8", dataset_type="Real_env",
+                        logdir=str(tmp_path / "logs")),
+        render=rc,
+        train=TrainConfig(lr=5e-3, total_iterations=2, save_freq=2,
+                          val_freq=100, batch_size=8,
+                          das_reg_loss_weight=1.0,
+                          compute_dtype="float32", seed=0,
+                          extra={"group_sampling": True}),
+        model=tiny_model_config(signal_output_dim=256),
+    )
+    runner = AVRRunner(cfg, d)
+    runner.train()
+
+    rng = np.random.default_rng(0)
+    queries = str(tmp_path / "q.npz")
+    np.savez(queries,  # 3 queries: NOT a multiple of 8
+             pos_rx=rng.uniform(1, 3, (3, 3)).astype(np.float32),
+             pos_tx=rng.uniform(1, 3, (3, 3)).astype(np.float32),
+             ch_idx=np.arange(3, dtype=np.int32))
+    out = str(tmp_path / "o.npz")
+    main(["render", "--config", f"{runner.logdir}/avr_conf.yml",
+          "--queries", queries, "--out", out])
+    z = np.load(out)
+    assert z["spec"].shape[0] == 3 and np.isfinite(z["spec"]).all()
