@@ -396,6 +396,11 @@ def main(argv=None) -> None:
     if os.path.isdir(config):
         config = os.path.join(config, "avr_conf.yml")
     cfg = AVRConfig.from_yaml(config)
+    if args.mode == "test":
+        # evaluate the TRAINED model even when the backed-up config was
+        # written with load_ckpt: false (the reference would evaluate a
+        # random init in that case — a quirk, not a behavior to keep)
+        cfg.train.load_ckpt = True
     mesh = None
     if len(jax.devices()) > 1:
         from avr_tpu.parallel.mesh import make_mesh_plan

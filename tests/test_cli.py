@@ -223,3 +223,42 @@ def test_cli_render_ignores_group8_sampling(tmp_path):
           "--queries", queries, "--out", out])
     z = np.load(out)
     assert z["spec"].shape[0] == 3 and np.isfinite(z["spec"]).all()
+
+
+def test_cli_train_test_mode_loads_checkpoint(tmp_path, capsys):
+    """--mode test on a finished logdir evaluates the TRAINED model:
+    load_ckpt is forced on even if the backed-up config said false."""
+    import numpy as np
+
+    from avr_tpu.__main__ import main
+    from avr_tpu.config import AVRConfig, PathConfig, TrainConfig
+    from avr_tpu.data import synthetic
+    from avr_tpu.train.runner import AVRRunner
+    from conftest import tiny_model_config, tiny_render_config
+
+    room = synthetic.RoomSpec(size=(4.0, 3.0, 2.5), max_order=1, fs=4000,
+                              seq_len=256)
+    d = str(tmp_path / "simu")
+    synthetic.write_simu_dataset(d, room, n=8)
+    rc = tiny_render_config(n_samples=4, n_azi=4, n_ele=2, fs=4000)
+    rc.far = 6.0
+    rc.xyz_min, rc.xyz_max = [0.0] * 3, [4.0] * 3
+    cfg = AVRConfig(
+        path=PathConfig(expname="tm", dataset_type="Simu",
+                        logdir=str(tmp_path / "logs")),
+        render=rc,
+        train=TrainConfig(lr=5e-3, total_iterations=2, save_freq=2,
+                          val_freq=100, batch_size=4,
+                          compute_dtype="float32", seed=0),
+        model=tiny_model_config(signal_output_dim=256),
+    )
+    runner = AVRRunner(cfg, d)
+    runner.train()
+
+    # config backup has load_ckpt: false; test mode must load anyway
+    main(["train", "--mode", "test", "--config", runner.logdir,
+          "--dataset_dir", d])
+    log = open(os.path.join(runner.logdir, "train.log")).read()
+    assert "resumed from checkpoint step 2" in log
+    npzs = os.listdir(os.path.join(runner.logdir, "val_result"))
+    assert any("000002" in f for f in npzs)
