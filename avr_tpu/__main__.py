@@ -89,7 +89,20 @@ def main(argv=None) -> None:
         cfg = AVRConfig.from_yaml(a.config)
         cfg.train.load_ckpt = True
         q = np.load(a.queries)
+        missing = [k for k in ("pos_rx", "pos_tx") if k not in q.files]
+        if missing:
+            sys.exit(
+                f"queries npz {a.queries} is missing required key(s) "
+                f"{missing} (has {q.files}); need pos_rx [N,3] and "
+                "pos_tx [N,3]"
+            )
         n = q["pos_rx"].shape[0]
+        if n == 0:
+            sys.exit(f"queries npz {a.queries} has zero rows — nothing to render")
+        if q["pos_tx"].shape[0] != n:
+            sys.exit(
+                f"pos_rx has {n} rows but pos_tx has {q['pos_tx'].shape[0]}"
+            )
         # inference needs no dataset: stub both splits with the queries
         # (zero targets) so the runner only supplies params + render fn
         from avr_tpu.data.loaders import Dataset
@@ -256,13 +269,15 @@ def _plot_cli(rest) -> None:
 
     p = argparse.ArgumentParser(prog="avr_tpu plot")
     p.add_argument("kind", choices=[
-        "loss", "doa-scatter", "frame-errors", "frame-scatter",
+        "loss", "loss-epoch", "doa-scatter", "doa-detail", "das-detail",
+        "frame-errors", "frame-scatter",
         "stft-compare", "band-response", "median-summary",
         "waveform-level", "rotate", "report",
     ])
     p.add_argument("inputs", nargs="+",
-                   help="metrics.jsonl / doa pickle / condition pickles / "
-                        "val npz / results dir (per kind)")
+                   help="metrics.jsonl / tfevents file / logdir / doa "
+                        "pickle / condition pickles / val npz / results "
+                        "dir (per kind)")
     p.add_argument("--save", required=True)
     p.add_argument("--prefixes", nargs="*", default=["train_loss"])
     p.add_argument("--fs", type=int, default=16000)
@@ -273,6 +288,14 @@ def _plot_cli(rest) -> None:
 
     if a.kind == "loss":
         plotting.plot_loss_curves(a.inputs[0], a.save, a.prefixes)
+    elif a.kind == "loss-epoch":
+        # reference/plot_loss.py over a metrics.jsonl, tfevents file, or
+        # logdir (incl. reference-produced TB-only logdirs)
+        plotting.plot_loss_by_epoch(a.inputs[0], a.save)
+    elif a.kind == "doa-detail":
+        print(aggregators.plot_doa_detail_scatter(a.inputs[0], a.save))
+    elif a.kind == "das-detail":
+        print(aggregators.plot_das_detail_scatter(a.inputs[0], a.save))
     elif a.kind == "doa-scatter":
         with open(a.inputs[0], "rb") as f:
             plotting.plot_doa_scatter(pickle.load(f), a.save)

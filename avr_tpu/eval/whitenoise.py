@@ -108,17 +108,24 @@ def sliding_window_doa(
     nfft: int,
     t_use: int,
     algo: str = "NormMUSIC",
-    max_windows: int = 64,
-) -> List[float]:
-    """DoA per sliding block of `t_use` STFT frames → list of degrees."""
+    max_windows: int = 0,
+) -> Tuple[List[float], int]:
+    """DoA per sliding block of `t_use` STFT frames.
+
+    Returns (list of degrees, n_windows_available). `max_windows` <= 0
+    sweeps every window like the reference
+    (whitenoise_long_doa.py:133-155); a positive cap truncates, and the
+    caller is expected to surface used-vs-available.
+    """
     n_frames = X.shape[-1]
     n_win = n_frames // t_use
-    starts = np.arange(min(n_win, max_windows)) * t_use
+    n_take = n_win if max_windows <= 0 else min(n_win, max_windows)
+    starts = np.arange(n_take) * t_use
     out = []
     for s in starts:
         sp = doa_lib.doa_spectrum(X[..., s : s + t_use], mic_xy, fs, nfft, algo)
         out.append(doa_lib.estimate_azimuth_deg(sp))
-    return out
+    return out, int(n_win)
 
 
 # -------------------- pipeline --------------------
@@ -148,7 +155,11 @@ class WhitenoiseConfig:
     # per T_use-STFT-frame window (the long script's framing).
     segments_ms: Optional[List[float]] = None
     overlap_factors: Optional[List[float]] = None
-    max_segments: int = 64  # cap per condition (bounds runtime)
+    # runtime caps — 0 = unlimited (the reference sweeps every window /
+    # segment). When set, truncation is logged and every summary row
+    # records windows_used vs windows_available.
+    max_segments: int = 0
+    max_windows: int = 0
 
     @classmethod
     def from_yaml(cls, path: str) -> "WhitenoiseConfig":
@@ -217,6 +228,13 @@ def run_whitenoise_eval(cfg: WhitenoiseConfig) -> "object":
             + (f"_T{fval}" if fkind == "T" else f"_seg{fval:g}ms_ov{fov:g}")
             + f"_len{seconds:g}"
             + (f"_{bname}" if band else "")
+            # every knob that changes the numbers goes into the cache key
+            # so stale pickles are never silently reused
+            + f"_{cfg.algo_name}_r{cfg.mic_radius:g}"
+            + (f"_cap{cfg.max_segments}" if fkind == "seg" and cfg.max_segments > 0
+               else "")
+            + (f"_cap{cfg.max_windows}" if fkind == "T" and cfg.max_windows > 0
+               else "")
         )
         cache = os.path.join(cfg.outdir, f"results_{tag}.pkl")
         if os.path.exists(cache) and not cfg.force:
@@ -249,13 +267,13 @@ def seg_hop_samples(fs: int, tseg_ms: float, overlap: float) -> Tuple[int, int]:
 
 
 def _segment_doa(y, mic_xy, cfg, stft_c, tseg_ms, overlap):
-    """One DoA estimate per time segment; list of degrees."""
+    """(one DoA estimate per time segment, n segments available)."""
     L, H = seg_hop_samples(cfg.fs, tseg_ms, overlap)
     T = y.shape[-1]
-    starts = range(0, max(T - L + 1, 0), H)
+    starts = list(range(0, max(T - L + 1, 0), H))
     angles = []
     for i, s in enumerate(starts):
-        if i >= cfg.max_segments:
+        if cfg.max_segments > 0 and i >= cfg.max_segments:
             break
         frame = y[..., s : s + L]
         if frame.shape[-1] < stft_c["nfft"]:
@@ -263,7 +281,7 @@ def _segment_doa(y, mic_xy, cfg, stft_c, tseg_ms, overlap):
         X = stft_condition(frame, stft_c["nfft"], stft_c["hop"], stft_c["win"])
         sp = doa_lib.doa_spectrum(X, mic_xy, cfg.fs, stft_c["nfft"], cfg.algo_name)
         angles.append(doa_lib.estimate_azimuth_deg(sp))
-    return angles
+    return angles, len(starts)
 
 
 def _condition_over_groups(groups, cfg, seed, band, seconds, angle_fn):
@@ -276,6 +294,7 @@ def _condition_over_groups(groups, cfg, seed, band, seconds, angle_fn):
     per_group = []
     errs_gt, errs_true = [], []
     n_empty = 0
+    windows_used = windows_available = 0
     for pred_group, ori_group, rx_pos, tx_pos in groups:
         mic_center = rx_pos[:, :2].mean(axis=0)
         mic_xy = doa_lib.circular_2d_array(
@@ -292,13 +311,16 @@ def _condition_over_groups(groups, cfg, seed, band, seconds, angle_fn):
             y = convolve_noise_with_group(spec, seconds, cfg.fs, seed)
             if band is not None:
                 y = apply_bandpass(y, band[0], band[1], cfg.fs)
-            win_angles = angle_fn(y, mic_xy)
+            win_angles, n_avail = angle_fn(y, mic_xy)
             if not win_angles:
                 n_empty += 1
+            windows_used += len(win_angles)
+            windows_available += n_avail
             mu, var, std = circ_stats_deg(win_angles)
             angles[name] = {
                 "mean": mu, "var": var, "std": std,
-                "n_windows": len(win_angles), "windows": win_angles,
+                "n_windows": len(win_angles), "n_windows_available": n_avail,
+                "windows": win_angles,
             }
         e_gt = angular_error_deg(angles["pred"]["mean"], angles["gt"]["mean"])
         e_true = angular_error_deg(angles["pred"]["mean"], true_deg)
@@ -306,15 +328,25 @@ def _condition_over_groups(groups, cfg, seed, band, seconds, angle_fn):
         errs_true.append(e_true)
         per_group.append({"true_deg": true_deg, **angles,
                           "err_pred_vs_gt": e_gt, "err_pred_vs_true": e_true})
+    import warnings
+
     if n_empty:
         # e.g. segments longer than the synthesized signal, or segments
         # shorter than one STFT frame — the condition is meaningless
-        import warnings
-
         warnings.warn(
             f"{n_empty} signal(s) produced zero DoA windows for this "
             "condition (segment/window longer than the signal?) — its "
             "summary contains NaN",
+            stacklevel=3,
+        )
+    if windows_used < windows_available:
+        # never silent: a max_windows/max_segments cap (or too-short
+        # segments) dropped windows, so circular stats cover a subset
+        warnings.warn(
+            f"DoA condition evaluated {windows_used} of "
+            f"{windows_available} available windows (max_windows/"
+            "max_segments cap or sub-frame segments) — statistics cover "
+            "a subset of the signal",
             stacklevel=3,
         )
     return {
@@ -325,6 +357,8 @@ def _condition_over_groups(groups, cfg, seed, band, seconds, angle_fn):
             "mean_pred_vs_true": float(np.mean(errs_true)),
             "n_groups": len(per_group),
             "n_empty_signals": n_empty,
+            "windows_used": windows_used,
+            "windows_available": windows_available,
         },
     }
 
@@ -345,7 +379,8 @@ def _run_condition(groups, cfg: WhitenoiseConfig, seed, stft_c, t_use, band, sec
     def angle_fn(y, mic_xy):
         X = stft_condition(y, stft_c["nfft"], stft_c["hop"], stft_c["win"])
         return sliding_window_doa(
-            X, mic_xy, cfg.fs, stft_c["nfft"], t_use, cfg.algo_name
+            X, mic_xy, cfg.fs, stft_c["nfft"], t_use, cfg.algo_name,
+            max_windows=cfg.max_windows,
         )
 
     return _condition_over_groups(groups, cfg, seed, band, seconds, angle_fn)

@@ -191,9 +191,13 @@ def main(argv=None):
 
     base_cfg = AVRConfig.from_yaml(args.config)
     study = create_study(args.study_name, args.storage)
+    # one crashing trial (OOM, NaN'd objective, bad config combo) is
+    # recorded as FAIL and the study continues — an overnight 50-trial
+    # study must not die on trial 3
     study.optimize(
         make_objective(base_cfg, args.dataset_dir, args.start_index, args.variant),
         n_trials=args.n_trials,
+        catch=(Exception,),
     )
     print("best:", study.best_value, study.best_params)
 

@@ -101,6 +101,17 @@ class Study:
             ]
         return [t for t in self._mem_trials if t.get("state") == "COMPLETE"]
 
+    def _max_number(self) -> int:
+        """Highest trial number in ANY state (COMPLETE or FAIL), so a
+        resumed study never reuses a failed trial's number."""
+        if self._db is not None:
+            row = self._db.execute(
+                "SELECT MAX(number) FROM trials WHERE study=?",
+                (self.study_name,),
+            ).fetchone()
+            return -1 if row is None or row[0] is None else int(row[0])
+        return max((t["number"] for t in self._mem_trials), default=-1)
+
     def _record(self, number: int, state: str, value: Optional[float], params: Dict):
         if self._db is not None:
             self._db.execute(
@@ -211,16 +222,22 @@ class Study:
         n_trials: int,
         catch: tuple = (),
     ) -> None:
-        start = (
-            max((t["number"] for t in self._completed()), default=-1) + 1
-        )
+        """Run `n_trials` trials. Exceptions of a type in `catch` record
+        the trial as FAIL and continue (Optuna's `Study.optimize(catch=)`
+        semantics); other exceptions propagate after being recorded."""
+        start = self._max_number() + 1
         for i in range(n_trials):
             trial = Trial(self, start + i)
             try:
                 value = float(objective(trial))
-            except catch:
-                self._record(trial.number, "FAIL", None, trial.params)
-                continue
+            except Exception as e:
+                self._record(
+                    trial.number, "FAIL", None,
+                    {**trial.params, "__error__": f"{type(e).__name__}: {e}"},
+                )
+                if isinstance(e, catch):
+                    continue
+                raise
             self._record(trial.number, "COMPLETE", value, trial.params)
 
 

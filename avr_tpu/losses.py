@@ -15,8 +15,10 @@ complex arrays; both accepted.
 Reference quirks preserved for parity (SURVEY.md "Quirks"):
   * the energy-decay curve squares the already-squared spectral energy
     (criterion.py:80-83);
-  * the DAS beamformer assumes the batch is ONE 8-microphone circular
-    group on a unit circle starting at φ₀=π/2 (criterion.py:39-52);
+  * the DAS beamformer models each 8-row block of the batch as one
+    8-microphone circular group on a unit circle starting at φ₀=π/2
+    (criterion.py:39-52 — the reference asserts the batch is exactly
+    one such group; here batches of G·8 beamform G groups and average);
   * auraloss's magnitude clamp eps=1e-8 and periodic Hann windows.
 """
 
@@ -170,6 +172,13 @@ class CriterionConfig:
     beta: float = 100.0
     fs: int = 16000
     speed: float = 343.8
+    # microphones per beamforming group. The reference hard-asserts the
+    # whole batch is ONE 8-mic array (criterion.py:41); here batches that
+    # are a multiple of the group size are split into [G, 8] groups and
+    # the DAS losses averaged over groups, so batch_size=16 beamforms two
+    # real 8-mic arrays instead of one fictitious 16-mic one. Any other
+    # batch size raises (the parity analog of the reference assert).
+    das_group_size: int = 8
 
     @classmethod
     def from_configs(cls, tc: TrainConfig, rc: RenderConfig) -> "CriterionConfig":
@@ -237,19 +246,32 @@ def criterion(
     das_reg = jnp.zeros((), pred_time.dtype)
     das_ce = jnp.zeros((), pred_time.dtype)
     if cfg.das_reg_loss_weight > 0 or cfg.das_ce_loss_weight > 0:
-        power_pred = beamforming_power(pred_c, cfg.fs, cfg.speed)
-        power_ori = beamforming_power(ori_c, cfg.fs, cfg.speed)
+        g = cfg.das_group_size
+        bs = pred_c.shape[0]
+        if bs % g != 0:
+            raise ValueError(
+                f"DAS losses need the batch to be whole {g}-mic groups; "
+                f"got batch_size={bs} (reference/utils/criterion.py:41 "
+                "asserts exactly one group of 8)"
+            )
+        # [G, g, F] — each row block is one circular mic array
+        pred_g = pred_c.reshape(bs // g, g, pred_c.shape[-1])
+        ori_g = ori_c.reshape(bs // g, g, ori_c.shape[-1])
+        bp = jax.vmap(lambda s: beamforming_power(s, cfg.fs, cfg.speed))
+        power_pred = bp(pred_g)  # [G, K]
+        power_ori = bp(ori_g)
         if cfg.das_ce_loss_weight > 0:
-            target = jnp.argmax(power_ori)
-            ce = jax.nn.logsumexp(power_pred) - power_pred[target]
-            das_ce = ce * cfg.das_ce_loss_weight
+            target = jnp.argmax(power_ori, axis=-1)  # [G]
+            picked = jnp.take_along_axis(power_pred, target[:, None], axis=-1)[:, 0]
+            ce = jax.nn.logsumexp(power_pred, axis=-1) - picked
+            das_ce = jnp.mean(ce) * cfg.das_ce_loss_weight
         if cfg.das_reg_loss_weight > 0:
             angles = jnp.deg2rad(jnp.arange(0.0, 360.0, 1.0))
-            wp = jax.nn.softmax(cfg.beta * power_pred)
-            wo = jax.nn.softmax(cfg.beta * power_ori)
-            pred_ang = jnp.sum(wp * angles)
-            true_ang = jnp.sum(wo * angles)
-            das_reg = (
+            wp = jax.nn.softmax(cfg.beta * power_pred, axis=-1)  # [G, K]
+            wo = jax.nn.softmax(cfg.beta * power_ori, axis=-1)
+            pred_ang = jnp.sum(wp * angles, axis=-1)  # [G]
+            true_ang = jnp.sum(wo * angles, axis=-1)
+            das_reg = jnp.mean(
                 jnp.abs(jnp.sin(pred_ang) - jnp.sin(true_ang))
                 + jnp.abs(jnp.cos(pred_ang) - jnp.cos(true_ang))
             ) * cfg.das_reg_loss_weight

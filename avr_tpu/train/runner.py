@@ -227,11 +227,12 @@ class AVRRunner:
         self.writer.flush()
 
     def _current_lr(self, step: int) -> float:
-        tc = self.cfg.train
-        t = min(step, tc.T_max)
-        return tc.eta_min + 0.5 * (tc.lr - tc.eta_min) * (
-            1.0 + float(np.cos(np.pi * t / max(1, tc.T_max)))
-        )
+        """Logged LR comes from the SAME optax schedule the optimizer
+        applies (train/state.make_schedule) — no host-side duplicate that
+        could silently diverge."""
+        from avr_tpu.train.state import make_schedule
+
+        return float(make_schedule(self.cfg.train)(step))
 
     # ------------------------------------------------------------------
     def render_dataset(
@@ -286,12 +287,27 @@ class AVRRunner:
         # backend hits UNIMPLEMENTED on eager complex ops (rfft/einsum),
         # so pin this computation to the CPU device (the reference also
         # computes validation metrics host-side, avr_runner.py:260).
+        # DAS losses beamform per 8-row group; truncate the eval set to
+        # whole groups (the reference evaluates in group-sampled batches
+        # of 8, avr_runner.py:378, so a trailing partial group never
+        # reaches its criterion either).
+        pred_l, ori_l = pred, ori
+        das_on = self.crit.das_reg_loss_weight > 0 or self.crit.das_ce_loss_weight > 0
+        if das_on:
+            g = self.crit.das_group_size
+            n_whole = (len(pred_l) // g) * g
+            if n_whole < len(pred_l):
+                self.logger.info(
+                    "validate: truncating %d -> %d samples for whole "
+                    "%d-mic DAS groups", len(pred_l), n_whole, g,
+                )
+            pred_l, ori_l = pred_l[:n_whole], ori_l[:n_whole]
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             bundle, ori_t, pred_t = jax.device_get(
                 criterion(
-                    jnp.stack([pred.real, pred.imag], -1),
-                    jnp.stack([ori.real, ori.imag], -1),
+                    jnp.stack([pred_l.real, pred_l.imag], -1),
+                    jnp.stack([ori_l.real, ori_l.imag], -1),
                     self.crit,
                 )
             )
@@ -307,7 +323,7 @@ class AVRRunner:
         per_sample = [
             metric_cal(np.asarray(ori_t[i : i + 1]), np.asarray(pred_t[i : i + 1]),
                        fs=self.cfg.render.fs)
-            for i in range(min(len(pred), 256))
+            for i in range(min(len(pred_t), 256))
         ]
         names = dict(zip(METRIC_KEYS, ("angle_error", "amp_error", "env_error",
                                        "t60_error", "c50_error", "edt_error", "multi_stft")))

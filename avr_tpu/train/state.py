@@ -64,12 +64,22 @@ def zero_nonfinite() -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
-    schedule = optax.cosine_decay_schedule(
+def make_schedule(tc: TrainConfig) -> optax.Schedule:
+    """The cosine LR schedule (torch CosineAnnealingLR equivalent).
+
+    Single source of truth — the optimizer applies it and the runner
+    logs it (avr_tpu/train/runner.py:_current_lr), so the logged LR can
+    never drift from the applied LR.
+    """
+    return optax.cosine_decay_schedule(
         init_value=tc.lr,
         decay_steps=max(1, tc.T_max),
         alpha=tc.eta_min / tc.lr if tc.lr else 0.0,
     )
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    schedule = make_schedule(tc)
     chain = [
         optax.clip_by_global_norm(1.0),
         zero_nonfinite(),

@@ -54,8 +54,12 @@ def main():
             by_name[e["name"]] += 1
             dur[e["name"]] += e["dur"]
         top = [n for n, _ in dur.most_common(10)]
-        n_steps = sorted(by_name[n] for n in top)[len(top) // 2]  # median
+        counts = sorted(by_name[n] for n in top)
+        n_steps = counts[len(top) // 2]  # median
         n_steps = max(1, min(int(n_steps), 16))
+        # make a mis-detection visible (ops that run k>1 times per step
+        # deflate per-step figures) — pass n_steps explicitly to override
+        print(f"auto n_steps={n_steps} from top-10-op counts {counts}")
     print(f"{paths[-1]}")
     print(f"device span {span_ms:.1f} ms over {n_steps} steps "
           f"({span_ms / n_steps:.1f} ms/step), {len(ev)} events")

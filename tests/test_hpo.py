@@ -52,6 +52,61 @@ def test_sqlite_resume(tmp_path):
     assert nums == sorted(nums) and nums[-1] == 14
 
 
+def test_failing_trial_recorded_and_study_survives(tmp_path):
+    """One crashing trial must not kill the study (VERDICT round-1
+    Weak #7): with catch=(Exception,), the failure is recorded as FAIL
+    and the remaining trials run (Optuna optimize(catch=) semantics)."""
+    storage = f"sqlite:///{tmp_path}/study.db"
+    calls = {"n": 0}
+
+    def flaky(trial):
+        x = trial.suggest_float("x", -5.0, 5.0)
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise MemoryError("simulated OOM on trial 3")
+        return (x - 1.2) ** 2
+
+    s = create_study("flaky", storage=storage, seed=0)
+    s.optimize(flaky, n_trials=10, catch=(Exception,))
+    assert calls["n"] == 10  # all 10 trials attempted
+    assert len(s.trials) == 9  # 9 COMPLETE, 1 FAIL
+    # the failure is on record with its exception
+    import sqlite3
+
+    rows = sqlite3.connect(f"{tmp_path}/study.db").execute(
+        "SELECT state, params FROM trials WHERE study='flaky' ORDER BY number"
+    ).fetchall()
+    assert [r[0] for r in rows].count("FAIL") == 1
+    failed = next(p for st, p in rows if st == "FAIL")
+    assert "MemoryError" in failed
+
+    # without catch, the exception propagates (Optuna default) but the
+    # FAIL row is still recorded first
+    s2 = create_study("propagate", storage=storage, seed=0)
+    import pytest
+
+    with pytest.raises(ZeroDivisionError):
+        s2.optimize(lambda t: 1 / 0, n_trials=3)
+    rows = sqlite3.connect(f"{tmp_path}/study.db").execute(
+        "SELECT state FROM trials WHERE study='propagate'"
+    ).fetchall()
+    assert rows == [("FAIL",)]
+
+
+def test_resume_after_crash_numbers_past_failures(tmp_path):
+    """Restarting a study whose last trial FAILed must not reuse its
+    trial number (partially-written state resume)."""
+    storage = f"sqlite:///{tmp_path}/study.db"
+    s1 = create_study("crashy", storage=storage, seed=0)
+    s1.optimize(quadratic, n_trials=4)
+    s1.optimize(lambda t: 1 / 0, n_trials=1, catch=(ZeroDivisionError,))
+    # "process restart": a fresh Study object over the same SQLite file
+    s2 = create_study("crashy", storage=storage, seed=1)
+    s2.optimize(quadratic, n_trials=3)
+    nums = [t["number"] for t in s2.trials]  # COMPLETE trials only
+    assert nums == [0, 1, 2, 3, 5, 6, 7]  # number 4 belongs to the FAIL
+
+
 def test_update_config_scaling():
     cfg = AVRConfig()
     cfg.path = PathConfig(expname="real_exp_param_0_1")
