@@ -401,3 +401,121 @@ def experiment_report(
     if os.path.exists(metrics):
         plotting.plot_loss_and_doa(metrics, doa_by_iter, out)
     return doa_by_iter
+
+
+# ----------------------------------------------------------------------
+# Best/last checkpoint detail scatters (plot_DoA_detail_scatter.py /
+# plot_DAS_detail_scatter.py parity)
+# ----------------------------------------------------------------------
+def _scatter_panel(ax, x, y, xlabel, ylabel, title):
+    """One pred/gt/true panel (reference/plot_DoA_detail_scatter.py:62-71:
+    identity diagonal, square 0..360 axes)."""
+    ax.scatter(x, y, alpha=0.5)
+    ax.plot([0, 360], [0, 360], "r--")
+    ax.set_xlim(0, 360)
+    ax.set_ylim(0, 360)
+    ax.set_aspect("equal", "box")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_title(title, fontsize=11)
+
+
+def _checkpoint_pkls(base_dir: str) -> List[str]:
+    import glob
+
+    return sorted(glob.glob(os.path.join(base_dir, "val_iter*.pkl")))
+
+
+def _mean_err(rec: Dict, key: str = "pred_vs_gt_error") -> Optional[float]:
+    clean = [e for e in rec[key] if e is not None]
+    return float(np.mean(clean)) if clean else None
+
+
+def _best_last(paths: Sequence[str], method: str):
+    """[(path, mean err)] filtered to checkpoints with usable estimates;
+    returns (results, best, last) like plot_DoA_detail_scatter.py:32-49."""
+    results = []
+    for path in paths:
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        if method not in data:
+            continue
+        err = _mean_err(data[method])
+        if err is not None:
+            results.append((path, err))
+    if not results:
+        raise RuntimeError(f"Valid results not found for {method}.")
+    best = min(results, key=lambda x: x[1])
+    last = results[-1]
+    return results, best, last
+
+
+def _panel_row(axs_row, path: str, method: str, label: str, epoch: int):
+    with open(path, "rb") as f:
+        d = pickle.load(f)[method]
+    gt = np.array(d["gt_deg"], dtype=float)
+    pred = np.array(d["pred_deg"], dtype=float)
+    true = np.array(d["true_deg"], dtype=float)
+    errs = {k: _mean_err(d, k) for k in
+            ("pred_vs_gt_error", "pred_vs_true_error", "gt_vs_true_error")}
+    _scatter_panel(axs_row[0], gt, pred, "gt_deg", "pred_deg",
+                   f"{label} (Epoch {epoch})\npred_vs_gt_error: "
+                   f"{errs['pred_vs_gt_error']:.2f}°")
+    _scatter_panel(axs_row[1], true, pred, "true_deg", "pred_deg",
+                   f"{label} (Epoch {epoch})\npred_vs_true_error: "
+                   f"{errs['pred_vs_true_error']:.2f}°")
+    _scatter_panel(axs_row[2], true, gt, "true_deg", "gt_deg",
+                   f"{label} (Epoch {epoch})\ngt_vs_true_error: "
+                   f"{errs['gt_vs_true_error']:.2f}°")
+
+
+def plot_doa_detail_scatter(
+    logdir: str, save_path: Optional[str] = None, method: str = "NormMUSIC"
+) -> str:
+    """Best/last-checkpoint 2×3 pred/gt/true scatter grid over
+    `<logdir>/doa_results/val_iter*.pkl` — the exact layout of
+    reference/plot_DoA_detail_scatter.py:16-98 (per-epoch mean error in
+    each title, identity diagonal, Best row above Last row). Returns the
+    written PNG path (default `<logdir>/doa_detail_scatter.png`)."""
+    import matplotlib.pyplot as plt
+
+    paths = _checkpoint_pkls(os.path.join(logdir, "doa_results"))
+    results, (best_path, _), (last_path, _) = _best_last(paths, method)
+    epoch_map = {path: i + 1 for i, (path, _) in enumerate(results)}
+    save_path = save_path or os.path.join(logdir, "doa_detail_scatter.png")
+    fig, axs = plt.subplots(2, 3, figsize=(21, 14))
+    for i, (path, label) in enumerate([(best_path, "Best"), (last_path, "Last")]):
+        _panel_row(axs[i], path, method, label, epoch_map[path])
+    fig.suptitle(f"DoA Results ({method}, AVR)", fontsize=22)
+    plt.tight_layout(rect=[0, 0, 1, 0.95])
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    plt.savefig(save_path)
+    plt.close(fig)
+    return save_path
+
+
+def plot_das_detail_scatter(logdir: str, save_path: Optional[str] = None) -> str:
+    """Best/last 4×3 grid for the two DAS readouts (soft-argmax rows 1-2,
+    argmax rows 3-4) over `<logdir>/beamform_results/val_iter*.pkl` —
+    reference/plot_DAS_detail_scatter.py:16-123. Returns the PNG path
+    (default `<logdir>/das_detail_scatter.png`)."""
+    import matplotlib.pyplot as plt
+
+    paths = _checkpoint_pkls(os.path.join(logdir, "beamform_results"))
+    save_path = save_path or os.path.join(logdir, "das_detail_scatter.png")
+    fig, axs = plt.subplots(4, 3, figsize=(21, 28))
+    for base_row, method, tag in (
+        (0, "NormDAS_soft-argmax", "Soft"), (2, "NormDAS_argmax", "Argmax")
+    ):
+        results, (best_path, _), (last_path, _) = _best_last(paths, method)
+        epoch_map = {path: i + 1 for i, (path, _) in enumerate(results)}
+        for i, (path, label) in enumerate(
+            [(best_path, f"{tag} - Best"), (last_path, f"{tag} - Last")]
+        ):
+            _panel_row(axs[base_row + i], path, method, label, epoch_map[path])
+    fig.suptitle("DAS Results (Soft-argmax & Argmax)", fontsize=26)
+    plt.tight_layout(rect=[0, 0, 1, 0.97])
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    plt.savefig(save_path)
+    plt.close(fig)
+    return save_path

@@ -131,10 +131,18 @@ def sum_curves_by_prefix(
     return sorted(acc.items())
 
 
+def _load_curves(metrics_source: str) -> Dict[str, List[Tuple[int, float]]]:
+    """metrics.jsonl path, tfevents path, or logdir → tag curves
+    (reference logdirs carry only TB event files; see utils/tb_events)."""
+    from avr_tpu.utils.tb_events import read_scalar_curves
+
+    return read_scalar_curves(metrics_source)
+
+
 def plot_loss_curves(
-    metrics_jsonl: str, save_path: str, prefixes: Sequence[str] = ("train_loss",)
+    metrics_source: str, save_path: str, prefixes: Sequence[str] = ("train_loss",)
 ) -> None:
-    curves = read_metrics_jsonl(metrics_jsonl)
+    curves = _load_curves(metrics_source)
     fig, ax = plt.subplots(figsize=(10, 6))
     for prefix in prefixes:
         pts = (
@@ -156,15 +164,56 @@ def plot_loss_curves(
     plt.close(fig)
 
 
+def plot_loss_by_epoch(
+    log_path: str,
+    save_path: str,
+    train_prefix: str = "train_loss/",
+    test_prefix: str = "test_loss/",
+) -> None:
+    """Train/test loss sums vs epoch — reference/plot_loss.py:13-49
+    exactly: per-prefix scalar tags are summed per step, steps are
+    normalized to epochs by the first logged step, one blue train curve
+    and one orange test curve. Works over TB event files (including the
+    reference's own logdirs) or metrics.jsonl."""
+    from avr_tpu.utils.tb_events import accumulate_tags
+
+    curves = _load_curves(log_path)
+    train_acc = accumulate_tags(curves, train_prefix)
+    # our writer logs per-term train losses under train_loss_terms/
+    if not train_acc and train_prefix == "train_loss/":
+        train_acc = accumulate_tags(curves, "train_loss_terms/")
+    test_acc = accumulate_tags(curves, test_prefix)
+    if not train_acc:
+        raise ValueError(f"no scalars under {train_prefix!r} in {log_path}")
+    train_steps, train_values = zip(*sorted(train_acc.items()))
+    first_step = min(train_steps) or 1
+    fig = plt.figure(figsize=(10, 5))
+    plt.plot([s / first_step for s in train_steps], train_values,
+             label="Train Loss", color="blue")
+    if test_acc:
+        test_steps, test_values = zip(*sorted(test_acc.items()))
+        plt.plot([s / first_step for s in test_steps], test_values,
+                 label="Test Loss", color="orange")
+    plt.xlabel("Epoch")
+    plt.ylabel("Loss")
+    plt.title("Train/Test Loss over Epochs")
+    plt.legend()
+    plt.grid(True)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    plt.savefig(save_path)
+    plt.close(fig)
+
+
 def plot_loss_and_doa(
-    metrics_jsonl: str,
+    metrics_source: str,
     doa_errors_by_iter: Dict[int, float],
     save_path: str,
     loss_prefixes: Sequence[str] = ("train_loss", "test_loss/"),
 ) -> None:
     """Loss curves + per-checkpoint DoA error in one figure
     (reference/plot_eval.py:268-473)."""
-    curves = read_metrics_jsonl(metrics_jsonl)
+    curves = _load_curves(metrics_source)
     fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(12, 9), sharex=True)
     for prefix in loss_prefixes:
         pts = (

@@ -96,3 +96,112 @@ def test_config_variant_generation(tmp_path):
     # base untouched
     b = yaml.safe_load(open(d / "avr_real_exp_1.yml"))
     assert b["train"]["lr"] == 1e-3
+
+
+def test_tb_event_reader_roundtrip(tmp_path):
+    """Scalars written through MetricsWriter's TB stream read back via
+    the event-file reader identically to the JSONL stream (the reference
+    reporting layer consumes TB event files — plot_loss.py:9-25)."""
+    from avr_tpu.utils.logging import MetricsWriter
+    from avr_tpu.utils.tb_events import read_scalar_curves, read_tb_scalars
+
+    logdir = str(tmp_path / "run")
+    w = MetricsWriter(logdir)
+    for step in (10, 20, 30):
+        w.scalar("train_loss", 1.0 / step, step)
+        w.scalars({"spec_loss": 0.5 / step, "time_loss": 2.0 / step},
+                  step, prefix="test_loss/")
+    w.close()
+
+    tb = read_tb_scalars(logdir)
+    assert [s for s, _ in tb["train_loss"]] == [10, 20, 30]
+    np.testing.assert_allclose(
+        [v for _, v in tb["test_loss/spec_loss"]], [0.05, 0.025, 0.5 / 30],
+        rtol=1e-6,
+    )
+    # unified loader: logdir prefers metrics.jsonl, but a TB-only dir
+    # (reference-produced) still works
+    full = read_scalar_curves(logdir)
+    assert full["train_loss"] == sorted(full["train_loss"])
+    os.remove(os.path.join(logdir, "metrics.jsonl"))
+    tb_only = read_scalar_curves(logdir)
+    assert set(tb_only) == set(tb)
+
+
+def test_plot_loss_by_epoch_from_tb(tmp_path):
+    """plot_loss.py parity: per-prefix tag sums vs epoch, from a TB-only
+    logdir."""
+    from avr_tpu.utils.logging import MetricsWriter
+
+    logdir = str(tmp_path / "run")
+    w = MetricsWriter(logdir)
+    for step in (100, 200, 300):
+        w.scalars({"spec": 1.0 / step, "time": 3.0 / step}, step,
+                  prefix="train_loss/")
+        w.scalars({"spec": 2.0 / step}, step, prefix="test_loss/")
+    w.close()
+    os.remove(os.path.join(logdir, "metrics.jsonl"))  # TB-only
+    png = str(tmp_path / "loss_by_epoch.png")
+    plotting.plot_loss_by_epoch(logdir, png)
+    assert os.path.getsize(png) > 10_000
+
+
+def _fake_doa_pkls(base, method, errs_by_iter):
+    """val_iter*.pkl files with the reference result schema."""
+    import pickle
+
+    os.makedirs(base, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for it, mean_err in errs_by_iter.items():
+        n = 12
+        gt = rng.uniform(0, 360, n)
+        rec = {
+            "true_deg": list(gt + 1.0), "gt_deg": list(gt),
+            "pred_deg": list((gt + mean_err) % 360),
+            "pred_vs_gt_error": [mean_err] * (n - 1) + [None],
+            "pred_vs_true_error": [mean_err + 1.0] * n,
+            "gt_vs_true_error": [1.0] * n,
+        }
+        payload = {m: rec for m in ([method] if isinstance(method, str) else method)}
+        with open(os.path.join(base, f"val_iter{it:06d}.pkl"), "wb") as f:
+            pickle.dump(payload, f)
+
+
+def test_doa_detail_scatter(tmp_path):
+    from avr_tpu.eval import aggregators
+
+    logdir = str(tmp_path / "exp")
+    _fake_doa_pkls(os.path.join(logdir, "doa_results"), "NormMUSIC",
+                   {1000: 40.0, 2000: 10.0, 3000: 25.0})
+    png = aggregators.plot_doa_detail_scatter(logdir)
+    assert png == os.path.join(logdir, "doa_detail_scatter.png")
+    assert os.path.getsize(png) > 20_000
+
+
+def test_das_detail_scatter(tmp_path):
+    from avr_tpu.eval import aggregators
+
+    logdir = str(tmp_path / "exp")
+    _fake_doa_pkls(os.path.join(logdir, "beamform_results"),
+                   ["NormDAS_soft-argmax", "NormDAS_argmax"],
+                   {1000: 30.0, 2000: 5.0})
+    png = aggregators.plot_das_detail_scatter(logdir)
+    assert os.path.getsize(png) > 20_000
+
+
+def test_wide_cardioid_beam_pattern():
+    """Parity with reference/utils/spatialization.py:4-27 (torch)."""
+    import torch
+
+    from avr_tpu.utils.spatialization import wide_cardioid_beam_pattern
+
+    phi = np.linspace(0, 2 * np.pi, 73)
+    for facing, base in ((0.7, 2.0), (3.1, 0.0)):
+        ours = np.asarray(wide_cardioid_beam_pattern(facing, phi, base))
+        # reference math restated in torch
+        t_phi = torch.tensor(phi)
+        main = (1 + torch.cos(t_phi - facing)) / 2
+        b = base if base else 1.0
+        theirs = (main + b) / torch.max(main + b)
+        np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-6)
+        assert ours.max() == 1.0
