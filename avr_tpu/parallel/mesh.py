@@ -67,10 +67,15 @@ class MeshPlan:
         s = self.batch_sharding()
         if jax.process_count() > 1:
             # multi-host: every process holds the SAME global batch (the
-            # sampler is seed-synchronized); build global arrays from the
-            # process-local rows of the 'data'-sharded axis.
+            # sampler is seed-synchronized). global_shape MUST be passed
+            # as the full shape: without it JAX assumes each process
+            # holds only its own rows and infers a global batch of
+            # local_rows x n_processes — silently training on a
+            # duplicated, double-size batch.
             return {
-                k: jax.make_array_from_process_local_data(s, v)
+                k: jax.make_array_from_process_local_data(
+                    s, v, global_shape=v.shape
+                )
                 for k, v in batch.items()
             }
         return {k: jax.device_put(v, s) for k, v in batch.items()}

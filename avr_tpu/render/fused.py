@@ -107,6 +107,7 @@ def render_fused(
     shell_chunk: int = 1,
     remat: bool = True,
     point_budget: int = 4_000_000,
+    ray_weights: Optional[Array] = None,
 ) -> Array:
     """Render received IR spectra [bs, F, 2]. Same contract as render_oracle.
 
@@ -186,6 +187,13 @@ def render_fused(
         attn = attn_chunks.transpose(1, 2, 0, 3).reshape(bs, R, S)
 
     w = compositing_weights(attn, d_vals)  # [bs, R, S]
+    if ray_weights is not None:
+        # per-ray contribution scale; rays enter the output only through
+        # w (the compositing weights multiply the signal stream), so a
+        # zero entry removes a ray exactly. Used by the sharded train
+        # step to pad R to a multiple of the mesh ray axis with inert
+        # rays (balanced shards, no SPMD halo padding).
+        w = w * ray_weights.astype(w.dtype)[None, :, None]
 
     # ---------------- pass 2: signal tail + reduce + spectrum -----------
     xs = [

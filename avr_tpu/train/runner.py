@@ -149,8 +149,10 @@ class AVRRunner:
     # ------------------------------------------------------------------
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         if self.mesh_plan is not None:
-            sb = self.mesh_plan.batch_sharding()
-            return {k: jax.device_put(v, sb) for k, v in batch.items()}
+            # shard_batch handles both single-process device_put and the
+            # multi-host make_array_from_process_local_data branch (a
+            # plain device_put cannot build arrays spanning processes)
+            return self.mesh_plan.shard_batch(batch)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def train(self) -> None:
@@ -302,7 +304,11 @@ class AVRRunner:
                     "%d-mic DAS groups", len(pred_l), n_whole, g,
                 )
             pred_l, ori_l = pred_l[:n_whole], ori_l[:n_whole]
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices(): under jax.distributed the global
+        # list starts with process 0's devices, and pinning host-side
+        # compute to a NON-ADDRESSABLE device makes device_get raise on
+        # every other process.
+        cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             bundle, ori_t, pred_t = jax.device_get(
                 criterion(

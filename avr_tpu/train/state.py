@@ -120,7 +120,30 @@ def make_train_step(
             x, jax.sharding.NamedSharding(mesh_plan.mesh, spec)
         )
 
-    def render(params, batch: Dict[str, jax.Array], dirs: jax.Array) -> jax.Array:
+    def pad_rays(dirs: jax.Array):
+        """Pad R to a multiple of the mesh ray axis with zero-weight rays.
+
+        R = n_azi·n_ele + 2 is rarely divisible by the ray axis (e.g.
+        RAF-Furnished's 650 = 2·5²·13 over ray=4): without padding the
+        SPMD partitioner halo-pads every [·,R,·,·] tensor and shards are
+        imbalanced. Explicit inert rays keep every shard identical;
+        their contribution is exactly zero (render_fused ray_weights).
+        """
+        if mesh_plan is None:
+            return dirs, None
+        n_ray = mesh_plan.n_ray
+        R = dirs.shape[0]
+        pad = (-R) % n_ray
+        if pad == 0:
+            return dirs, None
+        dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[:1], (pad, 3))])
+        ray_w = jnp.concatenate(
+            [jnp.ones((R,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+        return dirs, constrain(ray_w, P("ray"))
+
+    def render(params, batch: Dict[str, jax.Array], dirs: jax.Array,
+               ray_weights: Optional[jax.Array] = None) -> jax.Array:
         return render_fused(
             params,
             fstatic,
@@ -135,10 +158,11 @@ def make_train_step(
             shell_chunk=tc.shell_chunk,
             remat=tc.remat,
             point_budget=tc.point_budget,
+            ray_weights=ray_weights,
         )
 
-    def loss_fn(params, batch, dirs) -> Tuple[jax.Array, LossBundle]:
-        pred = render(params, batch, dirs)
+    def loss_fn(params, batch, dirs, ray_weights) -> Tuple[jax.Array, LossBundle]:
+        pred = render(params, batch, dirs, ray_weights)
         bundle, _, _ = criterion(pred, batch["wave"], crit)
         return bundle.total, bundle
 
@@ -150,9 +174,10 @@ def make_train_step(
         if it is not None:
             key = jax.random.fold_in(key, it)
         dirs = geometry.ray_directions(rc.n_azi, rc.n_ele, key=key)
+        dirs, ray_w = pad_rays(dirs)
         dirs = constrain(dirs, P("ray"))
         (_, bundle), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, dirs
+            state.params, batch, dirs, ray_w
         )
         # Reference skips the iteration when the energy loss goes NaN
         # (avr_runner.py:183-185); non-finite covers inf as well.

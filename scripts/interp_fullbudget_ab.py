@@ -1,0 +1,195 @@
+"""FULL-BUDGET trilinear-vs-simplex training A/B on the synthetic array.
+
+The round-1 quality evidence for the simplex headline mode was a 1,500
+iteration 2-seed A/B — too thin to hang a perf number on (VERDICT r1
+Weak #3). This script runs the real protocol:
+
+  * dataset: synthetic 8-mic-array Real_env rooms (the DoA-capable
+    workload the fork's HPO optimizes, reference/optuna_avr_runner.py);
+  * training: the reference protocol — Adam + cosine, full criterion
+    incl. the DAS regression term, group-8 sampling, periodic val-npz
+    dumps (reference/avr_runner.py:219-302);
+  * budget: 40k iterations at batch 8 = the reference's 80k-iteration
+    RAF budget under its own batch-size scaling rule (iteration budgets
+    scale inversely with batch size, optuna_avr_runner.py:48-54; RAF
+    trains 80k at batch 4, config_files/avr_raf_furnished.yml:44);
+  * modes × seeds: {trilinear, simplex} × {0, 1, 2};
+  * report: per-checkpoint 7-metric validation + the HPO objective
+    (min over checkpoints of mean NormMUSIC pred-vs-gt DoA error,
+    optuna_avr_runner.py:113-124).
+
+Run on the TPU chip: `python scripts/interp_fullbudget_ab.py [iters]
+[--seeds 0,1,2] [--calibrate]`. Resume-safe: finished runs leave a
+result.json and are skipped on restart. Results land in
+results/interp_fullbudget/.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from avr_tpu.config import AVRConfig, EncodingConfig, MLPConfig, PathConfig, TrainConfig
+from avr_tpu.data import synthetic
+from avr_tpu.hpo.runner import doa_objective_from_logdir
+from avr_tpu.train.runner import AVRRunner
+
+ROOT = os.path.join("results", "interp_fullbudget")
+FS = 16000
+SEQ = 800  # 50 ms IRs: enough reflections for DoA in a 6x5x3 room
+
+
+def make_cfg(logdir: str, name: str, interp: str, iters: int, seed: int) -> AVRConfig:
+    """The demo synthetic-array config (configs/avr_synthetic_array_fast
+    .yml) scaled so a step is ~tens of ms — SAME scale for both modes."""
+    cfg = AVRConfig()
+    cfg.path = PathConfig(expname=name, dataset_type="Real_env", logdir=logdir)
+    rc = cfg.render
+    rc.xyz_min, rc.xyz_max = [0.0] * 3, [6.0, 5.0, 3.0]
+    rc.near, rc.far = 0.0, 4.0
+    rc.n_samples, rc.n_azi, rc.n_ele = 24, 16, 8
+    rc.speed, rc.fs, rc.pathloss = 343.8, FS, 1.5
+    cfg.model.signal_output_dim = SEQ
+    ch = cfg.model.channel_embed
+    ch.is_embed = True
+    ch.connection_type = "add"
+    ch.ch_num = 8
+    ch.is_sigma_encoder = True
+    ch.is_signal_network = True
+    ch.emb_dim_sigma_encoder = ch.emb_dim_signal_network = 16
+    enc = EncodingConfig(
+        n_levels=12, n_features_per_level=2, log2_hashmap_size=16,
+        base_resolution=8, interpolation=interp,
+    )
+    cfg.model.pos_encoding_sigma = enc
+    cfg.model.dir_encoding_sig = enc
+    cfg.model.tx_encoding_sig = enc
+    cfg.model.sigma_encoder_network = MLPConfig(n_neurons=128, n_hidden_layers=2)
+    cfg.model.sigma_decoder_network = MLPConfig(n_neurons=128, n_hidden_layers=1)
+    cfg.model.signal_network = MLPConfig(n_neurons=256, n_hidden_layers=2)
+    cfg.train = TrainConfig(
+        lr=1e-3, eta_min=1e-4, T_max=iters, total_iterations=iters,
+        batch_size=8, save_freq=max(iters // 2, 1), val_freq=max(iters // 10, 1),
+        log_freq=max(iters // 40, 1), steps_per_call=10, seed=seed,
+        das_reg_loss_weight=10.0,
+    )
+    cfg.train.extra["group_sampling"] = True
+    return cfg
+
+
+def ensure_dataset(data_dir: str) -> None:
+    if os.path.exists(os.path.join(data_dir, "train_test_split.pkl")):
+        return
+    room = synthetic.RoomSpec(size=(6.0, 5.0, 3.0), max_order=3, fs=FS, seq_len=SEQ)
+    synthetic.write_real_env_dataset(data_dir, room, n_groups=16, seed=7)
+    print(f"dataset: 16 groups -> {data_dir}", flush=True)
+
+
+def run_one(interp: str, seed: int, iters: int, data_dir: str) -> dict:
+    name = f"{interp}_s{seed}"
+    logdir = os.path.join(ROOT, "logs")
+    result_path = os.path.join(logdir, name, "result.json")
+    if os.path.exists(result_path):
+        with open(result_path) as f:
+            res = json.load(f)
+        print(f"[{name}] cached: {json.dumps(res['summary'])}", flush=True)
+        return res
+
+    cfg = make_cfg(logdir, name, interp, iters, seed)
+    runner = AVRRunner(cfg, data_dir)
+    t0 = time.time()
+    runner.train()
+    train_s = time.time() - t0
+    final_metrics = runner.validate(iters)
+
+    # per-checkpoint DoA objective (min over checkpoints of mean
+    # NormMUSIC pred-vs-gt error — the fork's HPO objective)
+    exp_dir = os.path.join(logdir, name)
+    doa_min = doa_objective_from_logdir(exp_dir, FS)
+    # also record the per-checkpoint curve for the report
+    import pickle
+    import re
+
+    doa_dir = os.path.join(exp_dir, "doa_results")
+    curve = {}
+    if os.path.isdir(doa_dir):
+        for f_ in sorted(os.listdir(doa_dir)):
+            m = re.match(r"val_iter(\d+)\.pkl", f_)
+            if not m:
+                continue
+            with open(os.path.join(doa_dir, f_), "rb") as fh:
+                r = pickle.load(fh)["NormMUSIC"]
+            clean = [e for e in r["pred_vs_gt_error"] if e is not None]
+            if clean:
+                curve[int(m.group(1))] = float(np.mean(clean))
+
+    res = {
+        "interp": interp, "seed": seed, "iters": iters,
+        "train_seconds": train_s,
+        "ms_per_step": 1e3 * train_s / iters,
+        "summary": {**{k: float(v) for k, v in final_metrics.items()},
+                    "doa_min_deg": float(doa_min)},
+        "doa_curve": curve,
+    }
+    with open(result_path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"[{name}] {train_s:.0f}s ({res['ms_per_step']:.1f} ms/step) "
+          f"{json.dumps(res['summary'])}", flush=True)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("iters", nargs="?", type=int, default=40_000)
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="300-iter step-time probe per mode, then exit")
+    args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
+
+    os.makedirs(os.path.join(ROOT, "logs"), exist_ok=True)
+    data_dir = os.path.join(ROOT, "data")
+    ensure_dataset(data_dir)
+
+    if args.calibrate:
+        for interp in ("simplex", "trilinear"):
+            res = run_one(interp, 99, 300, data_dir)
+            print(f"CALIBRATE {interp}: {res['ms_per_step']:.1f} ms/step "
+                  "(incl. compile)", flush=True)
+        return
+
+    results = []
+    for seed in seeds:
+        for interp in ("trilinear", "simplex"):
+            results.append(run_one(interp, seed, args.iters, data_dir))
+
+    # ---- report --------------------------------------------------------
+    keys = sorted(results[0]["summary"])
+    print("\n==== per-metric mean ± std over seeds ====", flush=True)
+    table = {}
+    for interp in ("trilinear", "simplex"):
+        rows = [r["summary"] for r in results if r["interp"] == interp]
+        table[interp] = {
+            k: (float(np.mean([r[k] for r in rows])),
+                float(np.std([r[k] for r in rows]))) for k in keys
+        }
+    hdr = f"{'metric':16s} {'trilinear':>22s} {'simplex':>22s}"
+    print(hdr, flush=True)
+    for k in keys:
+        t_m, t_s = table["trilinear"][k]
+        s_m, s_s = table["simplex"][k]
+        print(f"{k:16s} {t_m:12.5g} ±{t_s:8.3g} {s_m:12.5g} ±{s_s:8.3g}",
+              flush=True)
+    with open(os.path.join(ROOT, "ab_summary.json"), "w") as f:
+        json.dump({"iters": args.iters, "seeds": seeds, "table": table,
+                   "runs": results}, f, indent=1)
+    print(f"\nsummary -> {os.path.join(ROOT, 'ab_summary.json')}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,22 @@
 """Multi-chip scaling evidence on a virtual CPU device mesh.
 
 Runs the FULL sharded training step (losses + Adam + NaN guards) on
-1/2/4/8 virtual devices, checks the loss agrees with single-device
-execution, and inspects the compiled HLO for the collectives the SPMD
-partitioner inserted (the psum over 'ray' for the spherical integral and
-the gradient all-reduce — parallel/mesh.py docstring; the TPU-native
-analog of the reference's NCCL all-reduce, avr_runner_ddp.py:45).
+virtual device meshes and produces, per mesh:
+
+  * loss parity with single-device execution (bit-level tolerance);
+  * the collectives the SPMD partitioner inserted (the psum over 'ray'
+    for the spherical integral and the gradient all-reduce —
+    parallel/mesh.py docstring; the TPU-native analog of the reference's
+    NCCL all-reduce, avr_runner_ddp.py:45), with PER-DEVICE COMMUNICATION
+    BYTES parsed from the partitioned HLO (shapes there are already
+    per-partition) and per-device FLOPs from XLA cost analysis;
+  * the RAY-SHARD BALANCE study for the RAF-Furnished ray count
+    R = 36·18+2 = 650 = 2·5²·13 over ray axes {2, 4, 8}: the train step
+    pads dirs to a multiple of the axis with zero-weight rays
+    (train/state.pad_rays), so every shard is identical and the only
+    waste is the inert pad rays (reported as waste %).
+
+A markdown table of the results is written to docs/SCALING.md.
 
 Usage: python scripts/scaling_sim.py [n_virtual_devices=8]  (CPU only;
 sets the fake-device flag itself, must be launched fresh, not inside
@@ -37,10 +48,44 @@ from avr_tpu.parallel.mesh import make_mesh_plan  # noqa: E402
 from avr_tpu.render.common import make_consts  # noqa: E402
 from avr_tpu.train.state import init_state, make_train_step  # noqa: E402
 
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "c64": 8, "c128": 16,
+    "s64": 8, "s32": 4, "s16": 2, "s8": 1,
+    "u64": 8, "u32": 4, "u16": 2, "u8": 1, "pred": 1,
+}
+_COLLECTIVES = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
+)
 
-def run(n_devices: int, data_parallel=None, bs: int = 8):
+
+def collective_bytes(hlo: str):
+    """{op kind: (count, per-device bytes)} from partitioned HLO text.
+
+    Shapes in the compiled (post-SPMD) module are per-partition, so the
+    parsed result-shape bytes are what ONE device moves per step."""
+    out = {}
+    # e.g. "%ar = f32[1024,16]{1,0} all-reduce(" / "... all-reduce-start("
+    pat = re.compile(
+        r"= \(?([a-z0-9]+)\[([0-9,]*)\][^ ]* ("
+        + "|".join(_COLLECTIVES) + r")(?:-start)?\("
+    )
+    for dt, dims, kind in pat.findall(hlo):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        b = n * _DTYPE_BYTES.get(dt, 4)
+        c, tot = out.get(kind, (0, 0))
+        out[kind] = (c + 1, tot + b)
+    return out
+
+
+def run(n_devices: int, data_parallel=None, bs: int = 8, n_azi=None, n_ele=None):
     cfg = _flagship_config(small=True)
     cfg.train.batch_size = bs
+    if n_azi:
+        cfg.render.n_azi, cfg.render.n_ele = n_azi, n_ele
     plan = make_mesh_plan(
         jax.devices()[:n_devices], batch_size=bs, data_parallel=data_parallel
     )
@@ -61,15 +106,31 @@ def run(n_devices: int, data_parallel=None, bs: int = 8):
     batch = plan.shard_batch(batch_np)
     key = jax.random.PRNGKey(1)
 
-    hlo = step_fn.lower(state, batch, key).compile().as_text()
-    colls = sorted(
-        set(re.findall(r"%?([a-z-]*(?:all-reduce|all-gather|reduce-scatter|collective-permute)[a-z-]*)", hlo))
-    )
-    n_ar = len(re.findall(r"= [^=]*all-reduce", hlo))
+    compiled = step_fn.lower(state, batch, key).compile()
+    hlo = compiled.as_text()
+    comm = collective_bytes(hlo)
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", float("nan"))) if cost else float("nan")
 
     state2, bundle = step_fn(state, batch, key)
     total = float(jax.device_get(bundle.total))
-    return plan, total, colls, n_ar
+
+    R = cfg.render.n_azi * cfg.render.n_ele + 2
+    pad = (-R) % plan.n_ray
+    return {
+        "plan": plan, "loss": total, "comm": comm, "flops": flops,
+        "R": R, "R_pad": R + pad, "pad": pad,
+        "shard_rays": (R + pad) // plan.n_ray,
+    }
+
+
+def fmt_comm(comm) -> str:
+    if not comm:
+        return "none"
+    return " ".join(
+        f"{k}:{c}x/{b/1e6:.2f}MB" for k, (c, b) in sorted(comm.items())
+    )
 
 
 def main():
@@ -80,19 +141,86 @@ def main():
               (8, 2, 8)]
     if N_DEV >= 16:
         meshes += [(1, None, 16), (16, None, 16), (16, 4, 16)]
-    ref_by_bs = {}
+    rows = []
+    ref_by_key = {}
     for n, dp, bs in meshes:
-        plan, total, colls, n_ar = run(n, dp, bs)
-        ref_total = ref_by_bs.setdefault(bs, total)
-        rel = abs(total - ref_total) / max(abs(ref_total), 1e-12)
+        r = run(n, dp, bs)
+        plan = r["plan"]
+        ref = ref_by_key.setdefault(("base", bs), r["loss"])
+        rel = abs(r["loss"] - ref) / max(abs(ref), 1e-12)
+        ar_b = r["comm"].get("all-reduce", (0, 0))[1]
         print(
             f"devices={n} bs={bs} mesh=(data={plan.n_data} x ray={plan.n_ray}) "
-            f"loss={total:.8f} rel-vs-1dev={rel:.2e} "
-            f"all-reduces={n_ar} collectives={colls}",
+            f"loss={r['loss']:.8f} rel-vs-1dev={rel:.2e} "
+            f"flops/dev={r['flops']/1e9:.2f}G comm[{fmt_comm(r['comm'])}]",
             flush=True,
         )
         assert rel < 2e-4, "sharded loss diverged from single-device"
+        rows.append({
+            "mesh": f"{n} dev (data={plan.n_data}×ray={plan.n_ray}), bs={bs}",
+            "R": f"{r['R']}", "waste": "0.0%",
+            "flops": r["flops"], "ar_bytes": ar_b, "comm": fmt_comm(r["comm"]),
+            "rel": rel,
+        })
+
+    # ---- R=650 ray-shard balance study (RAF-Furnished ray count) --------
+    print("\n-- ray-shard balance, R = 36*18+2 = 650 --", flush=True)
+    ref650 = None
+    for dp in (8, 4, 2, 1):  # ray axis 1, 2, 4, 8
+        if N_DEV < 8:
+            break
+        r = run(8, dp, 8, n_azi=36, n_ele=18)
+        plan = r["plan"]
+        if ref650 is None:
+            ref650 = r["loss"]
+        rel = abs(r["loss"] - ref650) / max(abs(ref650), 1e-12)
+        waste = 100.0 * r["pad"] / r["R_pad"]
+        print(
+            f"ray={plan.n_ray}: R 650 -> pad {r['R_pad']} "
+            f"({r['shard_rays']}/shard, waste {waste:.2f}%) "
+            f"loss={r['loss']:.8f} rel={rel:.2e} "
+            f"flops/dev={r['flops']/1e9:.2f}G comm[{fmt_comm(r['comm'])}]",
+            flush=True,
+        )
+        assert rel < 2e-4, "padded ray sharding changed the loss"
+        rows.append({
+            "mesh": f"8 dev (data={plan.n_data}×ray={plan.n_ray}), bs=8",
+            "R": f"650→{r['R_pad']}", "waste": f"{waste:.2f}%",
+            "flops": r["flops"],
+            "ar_bytes": r["comm"].get("all-reduce", (0, 0))[1],
+            "comm": fmt_comm(r["comm"]), "rel": rel,
+        })
+
+    _write_docs(rows)
     print("SCALING SIM OK")
+
+
+def _write_docs(rows) -> None:
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "SCALING.md")
+    with open(path, "w") as f:
+        f.write(
+            "# Multi-chip scaling evidence (virtual CPU meshes)\n\n"
+            "Produced by `python scripts/scaling_sim.py` — the FULL\n"
+            "sharded train step (render + criterion + Adam + guards) on\n"
+            "virtual meshes, with per-device collective bytes parsed from\n"
+            "the partitioned HLO and per-device FLOPs from XLA cost\n"
+            "analysis. Loss is asserted equal to single-device execution\n"
+            "for every mesh. Rays are padded to the mesh ray axis with\n"
+            "zero-weight rays (train/state.pad_rays), so shards are\n"
+            "balanced; 'waste' is the inert-ray fraction.\n\n"
+            "Shapes are the dry-run scale (small=True); byte/FLOP figures\n"
+            "scale with the workload but the COLLECTIVE STRUCTURE (what is\n"
+            "reduced, how many times, per device) is scale-independent.\n\n"
+            "| mesh | rays (pad) | waste | flops/dev | all-reduce B/dev | collectives | rel-vs-1dev |\n"
+            "|---|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write(
+                f"| {r['mesh']} | {r['R']} | {r['waste']} | "
+                f"{r['flops']/1e9:.2f}G | {r['ar_bytes']/1e6:.2f}MB | "
+                f"{r['comm']} | {r['rel']:.1e} |\n"
+            )
+    print(f"table -> {os.path.abspath(path)}", flush=True)
 
 
 if __name__ == "__main__":
