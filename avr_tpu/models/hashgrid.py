@@ -419,11 +419,34 @@ def _onehot_levels_lookup(
     scatter-add with one small fp32-accumulated [A, 128·F] matmul.
     """
     outs = []
+    # Point-stream chunking (AVR_TPU_ONEHOT_CHUNK, 0 = off): the one-hot
+    # factors are [A, M] / [128, M] with M = K·N (6.6M for MeshRIR K=8)
+    # — fine to EXECUTE tiled, but the remote XLA service's compile time
+    # blew past 60 min scheduling the monolithic K=8 program (round-1
+    # finding). lax.map compiles ONE chunk body regardless of M, capping
+    # operand sizes; the scan's closed-over `seg` cotangent accumulates
+    # across chunks in the backward automatically.
+    spec = os.environ.get("AVR_TPU_ONEHOT_CHUNK", "auto")
+    if spec == "auto":
+        # chunk only the K=8 (trilinear) programs — the ones whose
+        # monolithic compile blew up; the tuned K=4 simplex program
+        # stays byte-identical to its measured 763 ms/step form
+        ch = (1 << 20) if idx_d.shape[1] == 8 else 0
+    else:
+        ch = int(spec)
     for lvl in range(idx_d.shape[0]):
         off, size = static.offsets[lvl], static.sizes[lvl]
         seg = jax.lax.slice_in_dim(table, off, off + size)  # [S, F]
         loc = idx_d[lvl] - off  # [K, N] in [0, S)
-        outs.append(_onehot_rows(seg, loc, cast))  # [K, N, F]
+        M = int(np.prod(loc.shape))
+        if 0 < ch < M and M % ch == 0:
+            rows = jax.lax.map(
+                lambda lc, s=seg: _onehot_rows(s, lc, cast),
+                loc.reshape(M // ch, ch),
+            )  # [M/ch, ch, F]
+            outs.append(rows.reshape(*loc.shape, rows.shape[-1]))
+        else:
+            outs.append(_onehot_rows(seg, loc, cast))  # [K, N, F]
     return jnp.stack(outs, axis=0)
 
 
@@ -559,26 +582,51 @@ def _encode_klm(
     F = table.shape[-1]
     idx, w = _indices_weights_klm(static, xf)  # [L, K, N]
     D = _n_onehot_levels(static, F)
+    idt = os.environ.get("AVR_TPU_INTERP_DTYPE", "bfloat16")
+
+    def interp(feats, wl):
+        """Weighted K-sum of [D', K, N, F] features → [D', N, F]."""
+        if idt == "bfloat16" and feats.dtype == jnp.bfloat16:
+            wl = wl.astype(feats.dtype)
+        else:
+            feats = feats.astype(wl.dtype)
+        return (feats * wl[..., None]).sum(axis=1)
+
+    # AVR_TPU_GATHER_PACK2: F=2 bf16 tables gather ONE packed f32 word
+    # per row (dense output layout) instead of an entry-minor bf16
+    # [M, 2] — see hash_scatter.gather_rows_packed2. The interpolation
+    # then runs on two per-feature planes with no [L,K,N,F] tensor at
+    # all. "auto" = off pending hardware A/B; "1" forces on (CPU too —
+    # the bit math is backend-neutral).
+    _pk2 = os.environ.get("AVR_TPU_GATHER_PACK2", "auto")
+    pk2 = (
+        F == 2 and cast == "bfloat16" and not pad2
+        and (_pk2 == "1" or (_pk2 == "auto" and False))
+    )
+
+    parts = []
     if D:
         dense = _onehot_levels_lookup(table, static, idx[:D], cast)
-        if D < L:
+        parts.append(interp(dense, w[:D]))
+    if D < L:
+        if pk2:
+            f0, f1 = hash_scatter.gather_rows_packed2(table, idx[D:])
+            wg = w[D:]
+            if idt == "bfloat16":
+                f0, f1 = f0.astype(jnp.bfloat16), f1.astype(jnp.bfloat16)
+                wg = wg.astype(jnp.bfloat16)
+            parts.append(
+                jnp.stack([(f0 * wg).sum(axis=1), (f1 * wg).sum(axis=1)],
+                          axis=-1)
+            )
+        else:
             gfeats = hash_scatter.gather_rows_lmajor(
                 table, idx[D:].reshape(L - D, K * N // m, m), cast
             ).reshape(L - D, K, N, F)
-            feats = jnp.concatenate([dense, gfeats], axis=0)
-        else:
-            feats = dense  # every level small enough for the matmul path
-    else:
-        feats = hash_scatter.gather_rows_lmajor(
-            table, idx.reshape(L, K * N // m, m), cast
-        )  # [L, K·N/m, m, F]
-    idt = os.environ.get("AVR_TPU_INTERP_DTYPE", "bfloat16")
-    if idt == "bfloat16" and feats.dtype == jnp.bfloat16:
-        w = w.astype(feats.dtype)
-    else:
-        feats = feats.astype(w.dtype)
-    prod = feats.reshape(L, K, N, F) * w[..., None]
-    out = prod.sum(axis=1)  # [L, N, F] — planar sum, no relayout
+            parts.append(interp(gfeats, w[D:]))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(
+        [p.astype(parts[0].dtype) for p in parts], axis=0
+    )  # [L, N, F]
     if pad2:
         out = out[..., :2]
     return jnp.moveaxis(out, 0, 1)  # [N, L, F]

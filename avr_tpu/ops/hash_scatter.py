@@ -197,8 +197,15 @@ def _sorted_scatter(
     # rounds updates to bf16 and packs feature pairs (u_j, u_{j+F/2})
     # into single f32 lanes, so the sort moves 1 + F/2 operands instead
     # of 1 + F (and the kernel needs one matmul pass instead of hi+lo).
-    packed = payload == "bf16" and F % 2 == 0 and precision != "f32"
-    if packed:
+    # "prepacked2": the caller already packed an F=2 bf16 pair per f32
+    # word (gather_rows_packed2's cotangent) — skip the packing step.
+    if payload == "prepacked2":
+        assert upd.shape[-1] == 1 and precision != "f32"
+        F = 2
+        packed = True
+    else:
+        packed = payload == "bf16" and F % 2 == 0 and precision != "f32"
+    if packed and payload != "prepacked2":
         upd = jax.lax.bitcast_convert_type(
             jnp.stack(
                 [upd[..., : F // 2].astype(jnp.bfloat16),
@@ -722,6 +729,96 @@ def _gather_lvl_bwd(res, g):
 
 
 gather_rows_leveled.defvjp(_gather_lvl_fwd, _gather_lvl_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_packed2(table: Array, idx: Array, small: bool = False):
+    """table[idx] for F=2 tables via ONE flat f32 gather per row.
+
+    table: [E, 2] (fp32 param or bf16); idx: int32 [L, ...]. Returns
+    (f0, f1): two bf16-VALUED float32 arrays of idx.shape — the two
+    features as separate dense planes.
+
+    Why: a bf16 [M, 2] gather result's only dense layout is entry-minor
+    {0,1:T(2,128)}, and XLA's TPU gather emitter writes it at ~11.6
+    ns/row — 2× the ~6 ns/row of a dense output (measured on the
+    reference MeshRIR shape, docs/PERFORMANCE.md; a row-major [M, 2]
+    bf16 result would lane-pad 2→128 into a 33.5 GB allocation). Packing
+    each bf16 feature PAIR into one f32 word (bitcast, exact) makes the
+    gather a scalar [E] → [M] f32 lookup whose output is an ordinary
+    dense-tiled array. The planes come back via bitwise unpack (the
+    scatter kernel's _unpack_payload trick): f0 = bits << 16,
+    f1 = bits & 0xFFFF0000, both bf16-valued f32 — pure bit moves, no
+    arithmetic touches the (possibly denormal) packed words.
+
+    The backward packs the two cotangent planes straight into the sorted
+    scatter's packed-bf16 payload (one f32 sort operand — the same
+    stream the "bf16" payload mode builds), accumulating fp32 on the
+    MXU. ``small`` routes the backward to the XLA scatter (callers with
+    sub-crossover streams).
+    """
+    return _packed2_impl(table, idx)
+
+
+def _packed2_words(table: Array) -> Array:
+    tb = table.astype(jnp.bfloat16)
+    # [E, 2] bf16 → [E] f32: element 0 lands in the LOW 16 bits
+    return jax.lax.bitcast_convert_type(tb, jnp.float32)
+
+
+def _unpack_words(vals: Array):
+    bits = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+    f0 = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+    f1 = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    return f0, f1
+
+
+def _packed2_impl(table: Array, idx: Array):
+    vals = _packed2_words(table)[idx]  # [L, ...] f32 — dense layout
+    if os.environ.get("AVR_TPU_PACK2_BARRIER", "0") == "1":
+        vals = jax.lax.optimization_barrier(vals)
+    return _unpack_words(vals)
+
+
+def _packed2_fwd(table, idx, small):
+    return (
+        _packed2_impl(table, idx),
+        (idx, table.shape, int(table.dtype == jnp.bfloat16)),
+    )
+
+
+def _packed2_bwd(small, res, g):
+    idx, (E, F), table_bf16 = res
+    g0, g1 = g  # f32 planes, idx.shape
+    out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
+    L = idx.shape[0]
+    M = int(np.prod(idx.shape)) // L
+    if small or L * M < _sorted_min_rows() or not on_tpu():
+        d = scatter_add_rows(
+            idx.reshape(-1),
+            jnp.stack([g0.reshape(-1), g1.reshape(-1)], axis=-1),
+            E, impl="xla",
+        ).astype(out_dtype)
+    else:
+        # pack the bf16-rounded cotangent pair into one f32 payload word
+        # (feature 0 low) — exactly the layout the sorted scatter's
+        # packed mode sorts and its kernel unpacks.
+        payload = jax.lax.bitcast_convert_type(
+            jnp.stack(
+                [g0.astype(jnp.bfloat16), g1.astype(jnp.bfloat16)], axis=-1
+            ),
+            jnp.float32,
+        )  # idx.shape, f32 words
+        d = _sorted_scatter(
+            idx.reshape(L, M), payload.reshape(L, M, 1), E,
+            tile_rows=int(os.environ.get("AVR_TPU_SCATTER_TS", 1024)),
+            chunk=int(os.environ.get("AVR_TPU_SCATTER_UC", 1024)),
+            precision="bf16x2", payload="prepacked2", interpret=False,
+        ).astype(out_dtype)
+    return d, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+gather_rows_packed2.defvjp(_packed2_fwd, _packed2_bwd)
 
 
 def _maybe_pin_rowmajor(table: Array) -> Array:

@@ -172,3 +172,52 @@ def test_sorted_scatter_on_tpu():
     ref = np.zeros((E, F), np.float32)
     np.add.at(ref, idx, upd)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_gather_rows_packed2_forward_and_vjp():
+    """Packed-pair gather: forward equals the bf16-cast rows bitwise;
+    backward equals the dense XLA scatter of the two cotangent planes."""
+    rng = np.random.default_rng(5)
+    E, L, M = 96, 3, 40
+    table = jnp.asarray(rng.normal(size=(E, 2)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, E, (L, M)), jnp.int32)
+
+    f0, f1 = hash_scatter.gather_rows_packed2(table, idx)
+    want = np.asarray(table.astype(jnp.bfloat16)[idx], np.float32)
+    np.testing.assert_array_equal(np.asarray(f0), want[..., 0])
+    np.testing.assert_array_equal(np.asarray(f1), want[..., 1])
+
+    g0 = jnp.asarray(rng.normal(size=(L, M)), jnp.float32)
+    g1 = jnp.asarray(rng.normal(size=(L, M)), jnp.float32)
+
+    def loss(t):
+        a, b = hash_scatter.gather_rows_packed2(t, idx)
+        return jnp.sum(a * g0) + jnp.sum(b * g1)
+
+    got = np.asarray(jax.grad(loss)(table))
+    want_g = np.zeros((E, 2), np.float32)
+    np.add.at(want_g[:, 0], np.asarray(idx).reshape(-1), np.asarray(g0).reshape(-1))
+    np.add.at(want_g[:, 1], np.asarray(idx).reshape(-1), np.asarray(g1).reshape(-1))
+    np.testing.assert_allclose(got, want_g, rtol=1e-6, atol=1e-6)
+
+
+def test_sorted_scatter_prepacked2_matches_xla():
+    """The prepacked2 payload (one f32 word carrying a bf16 pair) sums
+    like the XLA scatter of the unpacked pairs (kernel in interpret mode
+    is fine here: no manual-DMA hang risk on this small case? — NO:
+    interpret-mode emulation of the DMA kernel hangs (CLAUDE.md); use
+    the host-side pack/unpack helpers instead)."""
+    rng = np.random.default_rng(6)
+    M, E = 512, 64
+    idx = jnp.asarray(np.sort(rng.integers(0, E, M)).astype(np.int32))
+    pair = rng.normal(size=(M, 2)).astype(np.float32)
+    pair_bf = np.asarray(jnp.asarray(pair).astype(jnp.bfloat16))
+    payload = jax.lax.bitcast_convert_type(
+        jnp.asarray(pair_bf).astype(jnp.bfloat16), jnp.float32
+    )
+    # unpack must invert pack exactly
+    bits = jax.lax.bitcast_convert_type(payload, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(lo), pair_bf[:, 0].astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(hi), pair_bf[:, 1].astype(np.float32))

@@ -314,3 +314,76 @@ def test_dense_onehot_levels_match_gather(rng, monkeypatch):
         np.testing.assert_array_equal(e0b, e1b)
         scale = max(np.abs(g0b).max(), 1e-30)
         assert np.abs(g0b - g1b).max() < 2e-2 * scale
+
+
+def test_pack2_gather_matches_default_path(rng, monkeypatch):
+    """AVR_TPU_GATHER_PACK2=1 (flat packed-f32 gather + per-feature
+    planes) must match the default bf16 gather path: identical forward
+    values (both read the same bf16-cast rows) and XLA-scatter-grade
+    gradients, for both interpolation modes."""
+    monkeypatch.setenv("AVR_TPU_ENCODE_LAYOUT", "klm")
+    monkeypatch.setenv("AVR_TPU_DENSE_ONEHOT", "0")
+    for interp in ("trilinear", "simplex"):
+        cfg = EncodingConfig(
+            n_levels=4, n_features_per_level=2, log2_hashmap_size=10,
+            base_resolution=4, per_level_scale=1.7, interpolation=interp,
+        )
+        static = hashgrid.build_static(cfg)
+        table = jnp.asarray(
+            rng.normal(size=(static.padded_entries, 2)), jnp.float32
+        )
+        x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+
+        def run(pk2):
+            monkeypatch.setenv("AVR_TPU_GATHER_PACK2", pk2)
+            e = hashgrid.encode(table, static, x, compute_dtype=jnp.bfloat16)
+            g = jax.grad(
+                lambda t: jnp.sum(jnp.cos(
+                    hashgrid.encode(t, static, x, compute_dtype=jnp.bfloat16)
+                ))
+            )(table)
+            return np.asarray(e, np.float64), np.asarray(g, np.float64)
+
+        e0, g0 = run("0")
+        e1, g1 = run("1")
+        np.testing.assert_allclose(e0, e1, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(g0, g1, rtol=0, atol=1e-5)
+
+        # pack2 composes with the dense one-hot split (D > 0)
+        monkeypatch.setenv("AVR_TPU_DENSE_ONEHOT", "200")
+        e2, g2 = run("1")
+        monkeypatch.setenv("AVR_TPU_DENSE_ONEHOT", "0")
+        np.testing.assert_allclose(e0, e2, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(g0, g2, rtol=0, atol=1e-5)
+
+
+def test_onehot_chunked_matches_monolithic(rng, monkeypatch):
+    """AVR_TPU_ONEHOT_CHUNK (lax.map over point chunks — the K=8
+    compile-scaling fix) is exact: same forward bits and allclose table
+    gradient as the monolithic one-hot."""
+    monkeypatch.setenv("AVR_TPU_ENCODE_LAYOUT", "klm")
+    for interp in ("trilinear", "simplex"):
+        cfg = EncodingConfig(
+            n_levels=4, n_features_per_level=2, log2_hashmap_size=10,
+            base_resolution=4, per_level_scale=1.7, interpolation=interp,
+        )
+        static = hashgrid.build_static(cfg)
+        table = jnp.asarray(
+            rng.normal(size=(static.padded_entries, 2)), jnp.float32
+        )
+        x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+        monkeypatch.setenv("AVR_TPU_DENSE_ONEHOT", str(max(static.sizes)))
+
+        def run(chunk):
+            monkeypatch.setenv("AVR_TPU_ONEHOT_CHUNK", chunk)
+            e = hashgrid.encode(table, static, x)
+            g = jax.grad(
+                lambda t: jnp.sum(jnp.cos(hashgrid.encode(t, static, x)))
+            )(table)
+            return np.asarray(e, np.float64), np.asarray(g, np.float64)
+
+        # M = 64 points x K corners; chunk 64 divides both 256 and 512
+        e0, g0 = run("0")
+        e1, g1 = run("64")
+        np.testing.assert_array_equal(e0, e1)
+        np.testing.assert_allclose(g0, g1, rtol=0, atol=1e-5)
