@@ -180,6 +180,49 @@ def test_cli_render_refuses_without_checkpoint(tmp_path):
               "--out", str(tmp_path / "o.npz")])
 
 
+def test_cli_render_validates_queries(tmp_path):
+    """Zero-row or key-missing query npz exits with a clear message
+    instead of an opaque concatenate/KeyError (ADVICE r1)."""
+    import numpy as np
+    import pytest
+
+    from avr_tpu.__main__ import main
+    from avr_tpu.config import AVRConfig, PathConfig, TrainConfig
+    from conftest import tiny_model_config, tiny_render_config
+
+    cfg = AVRConfig(
+        path=PathConfig(expname="qv", dataset_type="Simu",
+                        logdir=str(tmp_path / "logs")),
+        render=tiny_render_config(n_samples=4, n_azi=4, n_ele=2, fs=4000),
+        train=TrainConfig(batch_size=4, compute_dtype="float32"),
+        model=tiny_model_config(signal_output_dim=256),
+    )
+    conf = str(tmp_path / "c.yml")
+    cfg.to_yaml(conf)
+
+    empty = str(tmp_path / "empty.npz")
+    np.savez(empty,
+             pos_rx=np.zeros((0, 3), np.float32),
+             pos_tx=np.zeros((0, 3), np.float32))
+    with pytest.raises(SystemExit, match="zero rows"):
+        main(["render", "--config", conf, "--queries", empty,
+              "--out", str(tmp_path / "o.npz")])
+
+    nokeys = str(tmp_path / "nokeys.npz")
+    np.savez(nokeys, pos_rx=np.zeros((2, 3), np.float32))
+    with pytest.raises(SystemExit, match="missing required key"):
+        main(["render", "--config", conf, "--queries", nokeys,
+              "--out", str(tmp_path / "o.npz")])
+
+    mismatch = str(tmp_path / "mismatch.npz")
+    np.savez(mismatch,
+             pos_rx=np.zeros((2, 3), np.float32),
+             pos_tx=np.zeros((3, 3), np.float32))
+    with pytest.raises(SystemExit, match="rows"):
+        main(["render", "--config", conf, "--queries", mismatch,
+              "--out", str(tmp_path / "o.npz")])
+
+
 def test_cli_render_ignores_group8_sampling(tmp_path):
     """Inference must not trip the DAS group-8 train-sampler invariant
     (query counts are arbitrary)."""
