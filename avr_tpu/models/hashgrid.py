@@ -603,21 +603,29 @@ def _encode_klm(
         F == 2 and cast == "bfloat16" and not pad2
         and (_pk2 == "1" or (_pk2 == "auto" and False))
     )
+    # F=4 analog (the pair-fused flagship table): one complex64 word per
+    # row — see hash_scatter.gather_rows_packed4
+    pk4 = (
+        F == 4 and cast == "bfloat16"
+        and os.environ.get("AVR_TPU_GATHER_PACK4", "auto") == "1"
+    )
 
     parts = []
     if D:
         dense = _onehot_levels_lookup(table, static, idx[:D], cast)
         parts.append(interp(dense, w[:D]))
     if D < L:
-        if pk2:
-            f0, f1 = hash_scatter.gather_rows_packed2(table, idx[D:])
+        if pk2 or pk4:
+            planes = (
+                hash_scatter.gather_rows_packed2(table, idx[D:]) if pk2
+                else hash_scatter.gather_rows_packed4(table, idx[D:])
+            )
             wg = w[D:]
             if idt == "bfloat16":
-                f0, f1 = f0.astype(jnp.bfloat16), f1.astype(jnp.bfloat16)
+                planes = [p.astype(jnp.bfloat16) for p in planes]
                 wg = wg.astype(jnp.bfloat16)
             parts.append(
-                jnp.stack([(f0 * wg).sum(axis=1), (f1 * wg).sum(axis=1)],
-                          axis=-1)
+                jnp.stack([(p * wg).sum(axis=1) for p in planes], axis=-1)
             )
         else:
             gfeats = hash_scatter.gather_rows_lmajor(

@@ -821,6 +821,68 @@ def _packed2_bwd(small, res, g):
 gather_rows_packed2.defvjp(_packed2_fwd, _packed2_bwd)
 
 
+@jax.custom_vjp
+def gather_rows_packed4(table: Array, idx: Array):
+    """table[idx] for F=4 tables via ONE complex64 gather per row.
+
+    table: [E, 4] (fp32 param or bf16); idx: int32 [L, ...]. Returns
+    (f0, f1, f2, f3): four bf16-VALUED float32 planes of idx.shape.
+
+    The F=4 analog of gather_rows_packed2: four bf16 features bitcast
+    into one 8-byte word (complex64 — TPU has no f64 gather path worth
+    using, and complex64 is a first-class XLA element type whose gather
+    result is a dense-tiled array). real = features 0/1, imag = 2/3;
+    within each f32 word the lower-indexed feature sits in the LOW
+    16 bits. The complex pack/unpack (lax.complex / real / imag) are bit
+    moves, not arithmetic — the carried words may be denormal f32s.
+
+    Backward: the four cotangent planes restack to [L, M, 4] and ride
+    the sorted scatter's packed-bf16 payload (2 f32 sort operands).
+    """
+    return _packed4_impl(table, idx)
+
+
+def _packed4_impl(table: Array, idx: Array):
+    tb = table.astype(jnp.bfloat16)  # [E, 4]
+    words = jax.lax.bitcast_convert_type(
+        tb.reshape(-1, 2, 2), jnp.float32
+    )  # [E, 2] f32
+    cw = jax.lax.complex(words[:, 0], words[:, 1])  # [E] c64
+    vals = cw[idx]  # [L, ...] c64 — dense layout
+    if os.environ.get("AVR_TPU_PACK2_BARRIER", "0") == "1":
+        vals = jax.lax.optimization_barrier(vals)
+    f0, f1 = _unpack_words(jnp.real(vals))
+    f2, f3 = _unpack_words(jnp.imag(vals))
+    return f0, f1, f2, f3
+
+
+def _packed4_fwd(table, idx):
+    return (
+        _packed4_impl(table, idx),
+        (idx, table.shape, int(table.dtype == jnp.bfloat16)),
+    )
+
+
+def _packed4_bwd(res, g):
+    idx, (E, F), table_bf16 = res
+    out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
+    L = idx.shape[0]
+    M = int(np.prod(idx.shape)) // L
+    g4 = jnp.stack(g, axis=-1)  # [L, ..., 4] f32 planes
+    if L * M < _sorted_min_rows() or not on_tpu():
+        d = scatter_add_rows(
+            idx.reshape(-1), g4.reshape(-1, 4), E, impl="xla"
+        ).astype(out_dtype)
+    else:
+        d = scatter_add_rows(
+            idx.reshape(L, M), g4.reshape(L, M, 4), E, payload="bf16"
+        ).astype(out_dtype)
+    return d, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+gather_rows_packed4.defvjp(_packed4_fwd, _packed4_bwd)
+
+
 def _maybe_pin_rowmajor(table: Array) -> Array:
     """AVR_TPU_TABLE_LAYOUT=rowmajor: pin the fp32 table row-major.
 

@@ -45,6 +45,21 @@ def check_op(table: jnp.ndarray) -> None:
         print("[op] PACK2 GATHER MISMATCH — do not enable", flush=True)
         sys.exit(1)
 
+    # F=4 complex64 variant
+    t4 = np.concatenate([np.asarray(table)] * 2, axis=-1)
+    t4[1::3, 3] = 0.0
+    t4j = jnp.asarray(t4)
+    f4 = jax.jit(lambda t, i: hash_scatter.gather_rows_packed4(t, i))
+    got4 = [np.asarray(a, np.float32) for a in f4(t4j, idx)]
+    want4 = np.asarray(
+        jax.jit(lambda t, i: t.astype(jnp.bfloat16)[i])(t4j, idx), np.float32
+    )
+    ok4 = all(np.array_equal(g, want4[..., j]) for j, g in enumerate(got4))
+    print(f"[op] pack4 bitwise={ok4}", flush=True)
+    if not ok4:
+        print("[op] PACK4 GATHER MISMATCH — do not enable", flush=True)
+        sys.exit(1)
+
 
 def run(interp: str) -> None:
     cfg = EncodingConfig(

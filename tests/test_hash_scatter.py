@@ -221,3 +221,29 @@ def test_sorted_scatter_prepacked2_matches_xla():
     hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
     np.testing.assert_array_equal(np.asarray(lo), pair_bf[:, 0].astype(np.float32))
     np.testing.assert_array_equal(np.asarray(hi), pair_bf[:, 1].astype(np.float32))
+
+
+def test_gather_rows_packed4_forward_and_vjp():
+    """complex64-packed F=4 gather: bitwise forward, XLA-scatter grads."""
+    rng = np.random.default_rng(7)
+    E, L, M = 80, 2, 48
+    table = jnp.asarray(rng.normal(size=(E, 4)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, E, (L, M)), jnp.int32)
+
+    planes = hash_scatter.gather_rows_packed4(table, idx)
+    want = np.asarray(table.astype(jnp.bfloat16)[idx], np.float32)
+    for j, p in enumerate(planes):
+        np.testing.assert_array_equal(np.asarray(p), want[..., j])
+
+    gs = [jnp.asarray(rng.normal(size=(L, M)), jnp.float32) for _ in range(4)]
+
+    def loss(t):
+        ps = hash_scatter.gather_rows_packed4(t, idx)
+        return sum(jnp.sum(p * g) for p, g in zip(ps, gs))
+
+    got = np.asarray(jax.grad(loss)(table))
+    want_g = np.zeros((E, 4), np.float32)
+    for j, g in enumerate(gs):
+        np.add.at(want_g[:, j], np.asarray(idx).reshape(-1),
+                  np.asarray(g).reshape(-1))
+    np.testing.assert_allclose(got, want_g, rtol=1e-6, atol=1e-6)

@@ -387,3 +387,38 @@ def test_onehot_chunked_matches_monolithic(rng, monkeypatch):
         e1, g1 = run("64")
         np.testing.assert_array_equal(e0, e1)
         np.testing.assert_allclose(g0, g1, rtol=0, atol=1e-5)
+
+
+def test_pack4_gather_matches_default_path(rng, monkeypatch):
+    """AVR_TPU_GATHER_PACK4=1 (complex64-packed F=4 gather) matches the
+    default path on a pair-fused [rows, 4] table through encode_pair."""
+    monkeypatch.setenv("AVR_TPU_ENCODE_LAYOUT", "klm")
+    monkeypatch.setenv("AVR_TPU_DENSE_ONEHOT", "0")
+    cfg = EncodingConfig(
+        n_levels=4, n_features_per_level=2, log2_hashmap_size=10,
+        base_resolution=4, per_level_scale=1.7, interpolation="simplex",
+    )
+    static = hashgrid.build_static(cfg)
+    fused = jnp.asarray(rng.normal(size=(static.padded_entries, 4)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+
+    def run(pk4):
+        monkeypatch.setenv("AVR_TPU_GATHER_PACK4", pk4)
+        a, b = hashgrid.encode_pair_fused(
+            fused, static, x, compute_dtype=jnp.bfloat16
+        )
+        g = jax.grad(
+            lambda t: sum(
+                jnp.sum(jnp.cos(e)) for e in hashgrid.encode_pair_fused(
+                    t, static, x, compute_dtype=jnp.bfloat16
+                )
+            )
+        )(fused)
+        return (np.asarray(a, np.float64), np.asarray(b, np.float64),
+                np.asarray(g, np.float64))
+
+    a0, b0, g0 = run("0")
+    a1, b1, g1 = run("1")
+    np.testing.assert_allclose(a0, a1, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(b0, b1, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(g0, g1, rtol=0, atol=1e-5)
