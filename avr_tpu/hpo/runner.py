@@ -127,32 +127,35 @@ def _variant_space(cfg: AVRConfig, trial: Trial, variant: str) -> None:
         ch.emb_dim_sigma_encoder = ch.emb_dim_sigma_decoder = ch.emb_dim_signal_network = dim
 
 
-def doa_objective_from_logdir(logdir: str, fs: int) -> float:
+def doa_objective_from_logdir(logdir: str, fs: int, return_curve: bool = False):
     """min over checkpoints of mean NormMUSIC pred-vs-gt error
-    (reference/optuna_avr_runner.py:96-124); 999 when nothing usable."""
+    (reference/optuna_avr_runner.py:96-124); 999 when nothing usable.
+    With return_curve, also returns {iteration: mean error} per
+    checkpoint (single source for the objective AND its curve)."""
     npz_dir = os.path.join(logdir, "val_result")
     doa_dir = os.path.join(logdir, "doa_results")
     os.makedirs(doa_dir, exist_ok=True)
-    if not os.path.isdir(npz_dir):
-        return 999.0
-    files = sorted(
-        (f for f in os.listdir(npz_dir) if re.match(r"val_iter\d+\.npz", f)),
-        key=lambda x: int(re.findall(r"\d+", x)[0]),
-    )
-    errors = []
-    for name in files:
-        pkl = os.path.join(doa_dir, os.path.splitext(name)[0] + ".pkl")
-        if not os.path.exists(pkl):
-            run_doa_on_npz(
-                os.path.join(npz_dir, name), fs=fs,
-                algo_names=["NormMUSIC"], save_path=pkl,
-            )
-        with open(pkl, "rb") as f:
-            res = pickle.load(f)
-        clean = [e for e in res["NormMUSIC"]["pred_vs_gt_error"] if e is not None]
-        if clean:
-            errors.append(float(np.mean(clean)))
-    return min(errors) if errors else 999.0
+    curve: dict = {}
+    if os.path.isdir(npz_dir):
+        files = sorted(
+            (f for f in os.listdir(npz_dir) if re.match(r"val_iter\d+\.npz", f)),
+            key=lambda x: int(re.findall(r"\d+", x)[0]),
+        )
+        for name in files:
+            pkl = os.path.join(doa_dir, os.path.splitext(name)[0] + ".pkl")
+            if not os.path.exists(pkl):
+                run_doa_on_npz(
+                    os.path.join(npz_dir, name), fs=fs,
+                    algo_names=["NormMUSIC"], save_path=pkl,
+                )
+            with open(pkl, "rb") as f:
+                res = pickle.load(f)
+            clean = [e for e in res["NormMUSIC"]["pred_vs_gt_error"]
+                     if e is not None]
+            if clean:
+                curve[int(re.findall(r"\d+", name)[0])] = float(np.mean(clean))
+    best = min(curve.values()) if curve else 999.0
+    return (best, curve) if return_curve else best
 
 
 def make_objective(base_cfg: AVRConfig, dataset_dir: str, start_index: int,

@@ -439,12 +439,25 @@ def _onehot_levels_lookup(
         seg = jax.lax.slice_in_dim(table, off, off + size)  # [S, F]
         loc = idx_d[lvl] - off  # [K, N] in [0, S)
         M = int(np.prod(loc.shape))
-        if 0 < ch < M and M % ch == 0:
+        if 0 < ch < M:
+            # pad the point stream to a chunk multiple with an
+            # OUT-OF-RANGE local index (= the padded row count A·B): its
+            # factored one-hot columns are all-zero, so pad rows read
+            # zeros forward and contribute nothing backward — same slack
+            # trick as the scatter kernel's tile spill-in.
+            a_rows = _cdiv_int(size, _LANE_B)
+            Mp = _cdiv_int(M, ch) * ch
+            loc_flat = jnp.concatenate([
+                loc.reshape(-1),
+                jnp.full((Mp - M,), a_rows * _LANE_B, jnp.int32),
+            ])
             rows = jax.lax.map(
                 lambda lc, s=seg: _onehot_rows(s, lc, cast),
-                loc.reshape(M // ch, ch),
-            )  # [M/ch, ch, F]
-            outs.append(rows.reshape(*loc.shape, rows.shape[-1]))
+                loc_flat.reshape(Mp // ch, ch),
+            )  # [Mp/ch, ch, F]
+            outs.append(
+                rows.reshape(Mp, -1)[:M].reshape(*loc.shape, rows.shape[-1])
+            )
         else:
             outs.append(_onehot_rows(seg, loc, cast))  # [K, N, F]
     return jnp.stack(outs, axis=0)

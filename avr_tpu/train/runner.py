@@ -298,6 +298,13 @@ class AVRRunner:
         if das_on:
             g = self.crit.das_group_size
             n_whole = (len(pred_l) // g) * g
+            if n_whole == 0:
+                raise ValueError(
+                    f"validate: the {mode_set} split has only "
+                    f"{len(pred_l)} samples — fewer than one "
+                    f"{g}-mic DAS group; losses would be NaN. Disable "
+                    "the DAS loss weights or use a group-complete split."
+                )
             if n_whole < len(pred_l):
                 self.logger.info(
                     "validate: truncating %d -> %d samples for whole "

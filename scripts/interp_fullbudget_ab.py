@@ -108,25 +108,9 @@ def run_one(interp: str, seed: int, iters: int, data_dir: str) -> dict:
     final_metrics = runner.validate(iters)
 
     # per-checkpoint DoA objective (min over checkpoints of mean
-    # NormMUSIC pred-vs-gt error — the fork's HPO objective)
+    # NormMUSIC pred-vs-gt error — the fork's HPO objective) + curve
     exp_dir = os.path.join(logdir, name)
-    doa_min = doa_objective_from_logdir(exp_dir, FS)
-    # also record the per-checkpoint curve for the report
-    import pickle
-    import re
-
-    doa_dir = os.path.join(exp_dir, "doa_results")
-    curve = {}
-    if os.path.isdir(doa_dir):
-        for f_ in sorted(os.listdir(doa_dir)):
-            m = re.match(r"val_iter(\d+)\.pkl", f_)
-            if not m:
-                continue
-            with open(os.path.join(doa_dir, f_), "rb") as fh:
-                r = pickle.load(fh)["NormMUSIC"]
-            clean = [e for e in r["pred_vs_gt_error"] if e is not None]
-            if clean:
-                curve[int(m.group(1))] = float(np.mean(clean))
+    doa_min, curve = doa_objective_from_logdir(exp_dir, FS, return_curve=True)
 
     res = {
         "interp": interp, "seed": seed, "iters": iters,

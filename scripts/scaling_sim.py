@@ -63,19 +63,26 @@ def collective_bytes(hlo: str):
     """{op kind: (count, per-device bytes)} from partitioned HLO text.
 
     Shapes in the compiled (post-SPMD) module are per-partition, so the
-    parsed result-shape bytes are what ONE device moves per step."""
+    parsed result-shape bytes are what ONE device moves per step.
+    Handles VARIADIC collectives too — XLA fuses the parameter-gradient
+    reduction into one tuple-shaped all-reduce, e.g.
+    "%ar = (f32[16,8]{1,0}, f32[4,16]{1,0}) all-reduce(...)" — by
+    capturing the whole result-shape string and summing every
+    dtype[dims] element inside it."""
     out = {}
-    # e.g. "%ar = f32[1024,16]{1,0} all-reduce(" / "... all-reduce-start("
     pat = re.compile(
-        r"= \(?([a-z0-9]+)\[([0-9,]*)\][^ ]* ("
+        r"= ((?:\([^)]*\)|[a-z0-9]+\[[0-9,]*\]\S*)) ("
         + "|".join(_COLLECTIVES) + r")(?:-start)?\("
     )
-    for dt, dims, kind in pat.findall(hlo):
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        b = n * _DTYPE_BYTES.get(dt, 4)
+    shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    for shapes, kind in pat.findall(hlo):
+        b = 0
+        for dt, dims in shape_pat.findall(shapes):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            b += n * _DTYPE_BYTES.get(dt, 4)
         c, tot = out.get(kind, (0, 0))
         out[kind] = (c + 1, tot + b)
     return out
