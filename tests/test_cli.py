@@ -305,3 +305,47 @@ def test_cli_train_test_mode_loads_checkpoint(tmp_path, capsys):
     assert "resumed from checkpoint step 2" in log
     npzs = os.listdir(os.path.join(runner.logdir, "val_result"))
     assert any("000002" in f for f in npzs)
+
+
+def test_cli_plot_detail_scatters_and_loss_epoch(tmp_path):
+    """The new plot kinds (doa-detail, das-detail, loss-epoch) run from
+    the CLI over synthetic logdir artifacts."""
+    import json
+    import pickle
+
+    import numpy as np
+
+    from avr_tpu.__main__ import main
+
+    logdir = tmp_path / "exp"
+    rng = np.random.default_rng(0)
+
+    def fake_pkls(sub, methods):
+        d = logdir / sub
+        d.mkdir(parents=True)
+        for it, err in ((1000, 30.0), (2000, 8.0)):
+            gt = rng.uniform(0, 360, 10)
+            rec = {
+                "true_deg": list(gt), "gt_deg": list(gt),
+                "pred_deg": list((gt + err) % 360),
+                "pred_vs_gt_error": [err] * 10,
+                "pred_vs_true_error": [err] * 10,
+                "gt_vs_true_error": [0.0] * 10,
+            }
+            with open(d / f"val_iter{it:06d}.pkl", "wb") as f:
+                pickle.dump({m: rec for m in methods}, f)
+
+    fake_pkls("doa_results", ["NormMUSIC"])
+    fake_pkls("beamform_results", ["NormDAS_soft-argmax", "NormDAS_argmax"])
+    with open(logdir / "metrics.jsonl", "w") as f:
+        for step in (100, 200, 300):
+            f.write(json.dumps({"tag": "train_loss/spec",
+                                "value": 1.0 / step, "step": step}) + "\n")
+
+    for kind, out in (("doa-detail", "dd.png"), ("das-detail", "das.png"),
+                      ("loss-epoch", "le.png")):
+        save = str(tmp_path / out)
+        main(["plot", kind, str(logdir), "--save", save])
+        import os
+
+        assert os.path.getsize(save) > 10_000
