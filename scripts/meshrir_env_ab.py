@@ -1,8 +1,11 @@
 """A/B env-var configurations on the reference MeshRIR workload shape.
 
 Like scripts/ab_env.py but for the MeshRIR config (3202 rays x 64
-samples x 2400-dim IR, simplex, dense one-hot on, shell_chunk 2).
-Usage: python scripts/meshrir_env_ab.py "LABEL:VAR=V,VAR2=V2" ...
+samples x 2400-dim IR, dense one-hot on, shell_chunk 2).
+Usage: python scripts/meshrir_env_ab.py [--interp=trilinear|simplex]
+                                        "LABEL:VAR=V,VAR2=V2" ...
+(default simplex; trilinear runs the reference's exact tcnn algorithm
+and skips the dense-onehot default — control it per spec.)
 Env vars are read at trace time; each spec compiles its own program.
 Timing is fetch-forced.
 """
@@ -24,14 +27,20 @@ from avr_tpu.render.fused import render_fused  # noqa: E402
 
 
 def main():
-    specs = sys.argv[1:] or ["base:"]
-    os.environ.setdefault("AVR_TPU_DENSE_ONEHOT", "65536")
+    argv = sys.argv[1:]
+    interp = "simplex"
+    if argv and argv[0].startswith("--interp="):
+        interp = argv[0].split("=", 1)[1]
+        argv = argv[1:]
+    specs = argv or ["base:"]
+    if interp == "simplex":
+        os.environ.setdefault("AVR_TPU_DENSE_ONEHOT", "65536")
     with open("/root/reference/config_files/avr_meshrir.yml") as f:
         cfg = AVRConfig.from_dict(yaml.safe_load(f))
     for enc in (cfg.model.pos_encoding_sigma, cfg.model.dir_encoding_sig,
                 cfg.model.tx_encoding_sig):
         if enc is not None:
-            enc.interpolation = "simplex"
+            enc.interpolation = interp
     fst = field_lib.build_field(cfg.model, cfg.path.dataset_type)
     consts = make_consts(cfg.render, cfg.model.signal_output_dim)
     params = field_lib.init(jax.random.PRNGKey(0), fst)
