@@ -372,23 +372,20 @@ def _n_onehot_levels(static: HashGridStatic, feature_width: int) -> int:
     gradient stream entirely. Fine hashed levels stay on the gather.
     Only a PREFIX of levels qualifies (sizes are non-decreasing).
 
-    The auto default targets the narrow-table SIMPLEX regime (F=2
-    standard model with `interpolation: simplex` — the tuned MeshRIR
-    configuration, 801 → 774 ms/step measured). Auto keeps it off for
-    (a) the pair-fused F=4 flagship, where the gather already runs at
-    4.4 ns/row and forcing the matmul path on measured a 7-9% LOSS, and
-    (b) trilinear (K=8) programs, where the full-scale MeshRIR compile
-    blew past 60 minutes on the remote XLA service twice (the K=8
-    one-hot intermediates double every [·, M] operand) — force via the
-    env knob to re-measure on other backends.
+    The auto default covers the narrow-table F<=2 regimes of BOTH
+    interpolation modes: simplex (the tuned MeshRIR configuration,
+    801 → 774 ms/step measured round 1) and trilinear K=8 (2,261 →
+    2,133 ms/step measured round 2 under AVR_TPU_ONEHOT_CHUNK's
+    point-stream chunking, which fixed the round-1 remote-compile
+    blowup that originally kept K=8 auto-off). Auto stays off only for
+    the pair-fused F=4 flagship, where the gather already runs at
+    4.4 ns/row and forcing the matmul path on measured a 7-9% LOSS.
     """
     spec = os.environ.get("AVR_TPU_DENSE_ONEHOT", "auto")
     if spec == "auto":
         if not hash_scatter.on_tpu():
             return 0
-        thresh = (
-            65536 if (feature_width <= 2 and static.n_corners == 4) else 0
-        )
+        thresh = 65536 if feature_width <= 2 else 0
     else:
         thresh = int(spec)
     d = 0
