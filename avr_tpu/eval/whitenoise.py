@@ -109,18 +109,27 @@ def sliding_window_doa(
     t_use: int,
     algo: str = "NormMUSIC",
     max_windows: int = 0,
+    slide_hop_frames: Optional[int] = None,
 ) -> Tuple[List[float], int]:
     """DoA per sliding block of `t_use` STFT frames.
 
-    Returns (list of degrees, n_windows_available). `max_windows` <= 0
-    sweeps every window like the reference
-    (whitenoise_long_doa.py:133-155); a positive cap truncates, and the
-    caller is expected to surface used-vs-available.
+    Returns (list of degrees, n_windows_available). `slide_hop_frames`
+    sets the window stride in frames — the reference's overlapping
+    schedule `range(0, T - T_use + 1, hop)`
+    (whitenoise_long_doa.py:133-155,191); None/0 means non-overlapping
+    (hop = t_use, the reference default). `max_windows` <= 0 sweeps
+    every window; a positive cap truncates, and the caller is expected
+    to surface used-vs-available.
     """
     n_frames = X.shape[-1]
-    n_win = n_frames // t_use
-    n_take = n_win if max_windows <= 0 else min(n_win, max_windows)
-    starts = np.arange(n_take) * t_use
+    hop = int(slide_hop_frames) if slide_hop_frames else t_use
+    if n_frames < t_use:
+        starts = np.empty(0, dtype=int)
+    else:
+        starts = np.arange(0, n_frames - t_use + 1, hop)
+    n_win = len(starts)
+    if max_windows > 0:
+        starts = starts[:max_windows]
     out = []
     for s in starts:
         sp = doa_lib.doa_spectrum(X[..., s : s + t_use], mic_xy, fs, nfft, algo)
@@ -142,6 +151,10 @@ class WhitenoiseConfig:
         default_factory=lambda: [{"nfft": 512, "hop": 256, "win": "hann"}]
     )
     T_use_list: List[int] = field(default_factory=lambda: [16, 64, 256])
+    # window stride in STFT frames for the long-noise framing; None =
+    # non-overlapping (hop = T_use) like the reference default
+    # (whitenoise_long_doa.py:65,191)
+    slide_hop_frames: Optional[int] = None
     algo_name: str = "NormMUSIC"
     mic_radius: float = 0.0365
     force: bool = False
@@ -235,6 +248,8 @@ def run_whitenoise_eval(cfg: WhitenoiseConfig) -> "object":
                else "")
             + (f"_cap{cfg.max_windows}" if fkind == "T" and cfg.max_windows > 0
                else "")
+            + (f"_shop{cfg.slide_hop_frames}"
+               if fkind == "T" and cfg.slide_hop_frames else "")
         )
         cache = os.path.join(cfg.outdir, f"results_{tag}.pkl")
         if os.path.exists(cache) and not cfg.force:
@@ -381,6 +396,7 @@ def _run_condition(groups, cfg: WhitenoiseConfig, seed, stft_c, t_use, band, sec
         return sliding_window_doa(
             X, mic_xy, cfg.fs, stft_c["nfft"], t_use, cfg.algo_name,
             max_windows=cfg.max_windows,
+            slide_hop_frames=cfg.slide_hop_frames,
         )
 
     return _condition_over_groups(groups, cfg, seed, band, seconds, angle_fn)

@@ -194,3 +194,52 @@ def test_whitenoise_segmented_reference_schema(tmp_path):
     assert (df["mean_pred_vs_gt"] < 20).all()
     assert any("seg100ms_ov0.5" in t for t in df["tag"])
     assert any("bp_0p5_3k" in t for t in df["tag"])
+
+
+def test_sliding_window_overlap_matches_reference_schedule(tmp_path):
+    """slide_hop_frames slides T_use-frame windows by an arbitrary hop —
+    the reference's `range(0, T - T_use + 1, hop)` schedule
+    (whitenoise_long_doa.py:133-155,191); None keeps the non-overlapping
+    default, and each window's estimate equals a direct per-window DoA."""
+    from test_doa import make_group_signals
+
+    sig, mic_xy = make_group_signals(75.0, T=16000, seed=5, snr_noise=0.01)
+    y = np.fft.irfft(sig, axis=-1).real
+    X = whitenoise.stft_condition(y, 256, 128, "hann")
+    T, t_use, hop = X.shape[-1], 16, 4
+
+    angles, n_avail = whitenoise.sliding_window_doa(
+        X, mic_xy, 16000, 256, t_use, slide_hop_frames=hop
+    )
+    starts = list(range(0, T - t_use + 1, hop))
+    assert n_avail == len(starts) and len(angles) == len(starts)
+
+    # every overlapping window = a direct DoA on that frame slice
+    for s, a in zip(starts[:5], angles[:5]):
+        sp = doa.doa_spectrum(X[..., s : s + t_use], mic_xy, 16000, 256,
+                              "NormMUSIC")
+        assert a == doa.estimate_azimuth_deg(sp)
+
+    # hop == t_use reproduces the non-overlapping default exactly
+    a_def, n_def = whitenoise.sliding_window_doa(X, mic_xy, 16000, 256, t_use)
+    a_eq, n_eq = whitenoise.sliding_window_doa(
+        X, mic_xy, 16000, 256, t_use, slide_hop_frames=t_use
+    )
+    assert a_def == a_eq and n_def == n_eq
+
+    # pipeline plumbing: overlapping config sweeps more windows and its
+    # cache tag records the hop (stale-pickle safety)
+    from test_doa import _fake_npz
+
+    npz = _fake_npz(tmp_path, [75.0])
+    common = dict(
+        npz=npz, fs=16000, seeds=[0], long_noise_seconds=1.0,
+        stft_grid=[{"nfft": 256, "hop": 128, "win": "hann"}],
+        T_use_list=[16],
+    )
+    df0 = whitenoise.run_whitenoise_eval(whitenoise.WhitenoiseConfig(
+        outdir=str(tmp_path / "wn0"), **common))
+    df1 = whitenoise.run_whitenoise_eval(whitenoise.WhitenoiseConfig(
+        outdir=str(tmp_path / "wn1"), slide_hop_frames=4, **common))
+    assert df1["windows_used"].iloc[0] > df0["windows_used"].iloc[0]
+    assert "_shop4" in df1["tag"].iloc[0]
