@@ -1,9 +1,11 @@
 """A/B the flagship fwd+bwd step across env-var configurations.
 
-Usage: python scripts/ab_env.py "LABEL:VAR=V,VAR2=V2" "LABEL2:VAR=V" ...
+Usage: python scripts/ab_env.py [--bs=N] "LABEL:VAR=V,VAR2=V2" ...
 Each spec is timed in-process (env vars are read at trace time, so each
 spec compiles its own program). Timing is fetch-forced (axon's
-block_until_ready does not block).
+block_until_ready does not block). --bs overrides the flagship batch
+size; AVR_TPU_AB_SHELL_CHUNK / AVR_TPU_AB_REMAT override the scan's
+chunking/rematerialization per spec (both read at trace time).
 """
 
 import os
@@ -22,12 +24,16 @@ from avr_tpu.render.fused import render_fused  # noqa: E402
 
 
 def main():
-    specs = sys.argv[1:] or ["base:"]
+    argv = sys.argv[1:]
     cfg = _flagship_config()
+    bs = cfg.train.batch_size
+    if argv and argv[0].startswith("--bs="):
+        bs = int(argv[0].split("=", 1)[1])
+        argv = argv[1:]
+    specs = argv or ["base:"]
     fst = field_lib.build_field(cfg.model, "RAF")
     consts = make_consts(cfg.render, cfg.model.signal_output_dim)
     params = field_lib.init(jax.random.PRNGKey(0), fst)
-    bs = cfg.train.batch_size
     R = cfg.render.n_rays
     rng = np.random.default_rng(0)
     rays_o = jnp.asarray(rng.uniform(-2, 2, (bs, 3)), jnp.float32)
@@ -41,8 +47,13 @@ def main():
     def loss_fn(p):
         out = render_fused(
             p, fst, consts, cfg.render, rays_o, tx, direction_tx=tx_view,
-            key=key, shell_chunk=cfg.train.shell_chunk,
-            # trace-time A/B toggle for the scan's rematerialization
+            key=key,
+            # trace-time A/B toggles for the signal scan's chunking and
+            # rematerialization (VERDICT r2 item 8: shell_chunk × remat
+            # grid at bs 8)
+            shell_chunk=int(os.environ.get(
+                "AVR_TPU_AB_SHELL_CHUNK", cfg.train.shell_chunk
+            )),
             remat=os.environ.get("AVR_TPU_AB_REMAT", "1") == "1",
         )
         return jnp.mean(jnp.abs(out - target))

@@ -18,17 +18,24 @@ virtual device meshes and produces, per mesh:
 
 A markdown table of the results is written to docs/SCALING.md.
 
-Usage: python scripts/scaling_sim.py [n_virtual_devices=8]  (CPU only;
-sets the fake-device flag itself, must be launched fresh, not inside
-another jax process. 16 exercises the BASELINE.md 16-chip mesh shapes,
-incl. a data=4 x ray=4 grid.)
+Usage: python scripts/scaling_sim.py [n_virtual_devices=8] [--full]
+(CPU only; sets the fake-device flag itself, must be launched fresh, not
+inside another jax process. 16 exercises the BASELINE.md 16-chip mesh
+shapes, incl. a data=4 x ray=4 grid. --full compiles the FULL
+flagship-scale step (small=False) for the 8/16-device meshes and
+appends its per-device collective bytes to docs/SCALING.md — compile
+only, no execution: a full-scale step is impractical on host CPU, but
+collective structure and per-partition byte counts come from the
+partitioned HLO alone.)
 """
 
 import os
 import re
 import sys
 
-N_DEV = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+FULL = "--full" in sys.argv[1:]
+N_DEV = int(_args[0]) if _args else 8
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + f" --xla_force_host_platform_device_count={N_DEV}"
@@ -88,8 +95,9 @@ def collective_bytes(hlo: str):
     return out
 
 
-def run(n_devices: int, data_parallel=None, bs: int = 8, n_azi=None, n_ele=None):
-    cfg = _flagship_config(small=True)
+def run(n_devices: int, data_parallel=None, bs: int = 8, n_azi=None, n_ele=None,
+        small: bool = True, execute: bool = True):
+    cfg = _flagship_config(small=small)
     cfg.train.batch_size = bs
     if n_azi:
         cfg.render.n_azi, cfg.render.n_ele = n_azi, n_ele
@@ -120,8 +128,10 @@ def run(n_devices: int, data_parallel=None, bs: int = 8, n_azi=None, n_ele=None)
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", float("nan"))) if cost else float("nan")
 
-    state2, bundle = step_fn(state, batch, key)
-    total = float(jax.device_get(bundle.total))
+    total = float("nan")
+    if execute:
+        state2, bundle = step_fn(state, batch, key)
+        total = float(jax.device_get(bundle.total))
 
     R = cfg.render.n_azi * cfg.render.n_ele + 2
     pad = (-R) % plan.n_ray
@@ -202,8 +212,74 @@ def main():
     print("SCALING SIM OK")
 
 
+def main_full():
+    """Full-flagship-scale (small=False) collective bytes, compile-only."""
+    meshes = [(8, None, 8), (8, 2, 8)]
+    if N_DEV >= 16:
+        meshes += [(16, None, 16), (16, 4, 16)]
+    rows = []
+    for n, dp, bs in meshes:
+        r = run(n, dp, bs, small=False, execute=False)
+        plan = r["plan"]
+        waste = 100.0 * r["pad"] / r["R_pad"]
+        print(
+            f"devices={n} bs={bs} mesh=(data={plan.n_data} x ray={plan.n_ray}) "
+            f"R {r['R']}->{r['R_pad']} (waste {waste:.2f}%) "
+            f"flops/dev={r['flops']/1e12:.3f}T comm[{fmt_comm(r['comm'])}]",
+            flush=True,
+        )
+        rows.append({
+            "mesh": f"{n} dev (data={plan.n_data}×ray={plan.n_ray}), bs={bs}",
+            "R": f"{r['R']}→{r['R_pad']}", "waste": f"{waste:.2f}%",
+            "flops": r["flops"],
+            "ar_bytes": r["comm"].get("all-reduce", (0, 0))[1],
+            "comm": fmt_comm(r["comm"]), "rel": float("nan"),
+        })
+    _append_full_docs(rows)
+    print("SCALING SIM FULL OK")
+
+
+_FULL_HEADER = "\n## Full flagship scale (small=False, compile-only)\n"
+
+
+def _append_full_docs(rows) -> None:
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "SCALING.md")
+    with open(path) as f:
+        text = f.read()
+    # idempotent: drop a previous full-scale section before re-appending
+    text = text.split(_FULL_HEADER)[0]
+    with open(path, "w") as f:
+        f.write(text)
+        f.write(
+            _FULL_HEADER
+            + "\nSame sharded train step at the REAL RAF-Furnished scale\n"
+            "(650 rays × 32 samples × 1600-dim IR, full model), compiled\n"
+            "for virtual 8/16-device meshes (`scripts/scaling_sim.py N\n"
+            "--full`). Per-device collective bytes are parsed from the\n"
+            "partitioned HLO; no execution (loss parity is established at\n"
+            "dry-run scale above — the partitioner's choices, not float\n"
+            "values, are what change with scale).\n\n"
+            "| mesh | rays (pad) | waste | flops/dev | all-reduce B/dev | collectives |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write(
+                f"| {r['mesh']} | {r['R']} | {r['waste']} | "
+                f"{r['flops']/1e12:.3f}T | {r['ar_bytes']/1e6:.2f}MB | "
+                f"{r['comm']} |\n"
+            )
+    print(f"table appended -> {os.path.abspath(path)}", flush=True)
+
+
 def _write_docs(rows) -> None:
     path = os.path.join(os.path.dirname(__file__), "..", "docs", "SCALING.md")
+    # keep a previously generated full-scale section across rewrites
+    full_section = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            parts = f.read().split(_FULL_HEADER)
+        if len(parts) == 2:
+            full_section = _FULL_HEADER + parts[1]
     with open(path, "w") as f:
         f.write(
             "# Multi-chip scaling evidence (virtual CPU meshes)\n\n"
@@ -227,8 +303,9 @@ def _write_docs(rows) -> None:
                 f"{r['flops']/1e9:.2f}G | {r['ar_bytes']/1e6:.2f}MB | "
                 f"{r['comm']} | {r['rel']:.1e} |\n"
             )
+        f.write(full_section)
     print(f"table -> {os.path.abspath(path)}", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main_full() if FULL else main()
