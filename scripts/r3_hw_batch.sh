@@ -27,21 +27,25 @@ echo "==== stage1 done, starting chip batch [$(date +%H:%M:%S)]" >> "$LOG"
 # 1) hardware verify: render/grad parity incl. the K=8 one-hot default
 run 2700 python scripts/verify_drive.py axon
 
-# 2) trilinear MeshRIR: new default, then the one-hot break-even sweep
-#    (separate invocations so one compile blowup can't eat the rest)
+# 2) trilinear MeshRIR: new default, then the one-hot break-even point.
+#    MeshRIR's grids have only 2-3 DENSE levels (sizes 4913, 35937,
+#    then hashed 262144 / dir 274625@log2=20) — the level loop breaks at
+#    the first hashed level, so the only threshold above auto's 65536
+#    that changes the program is 300000 (captures the dir encoding's
+#    274625-row level 2); anything higher is a no-op.
 run 1800 python scripts/meshrir_env_ab.py --interp=trilinear base:
 run 2400 python scripts/meshrir_env_ab.py --interp=trilinear \
          oh3e5:AVR_TPU_DENSE_ONEHOT=300000
-run 2400 python scripts/meshrir_env_ab.py --interp=trilinear \
-         oh1e6:AVR_TPU_DENSE_ONEHOT=1000000
-run 2700 python scripts/meshrir_env_ab.py --interp=trilinear \
-         oh4m:AVR_TPU_DENSE_ONEHOT=4194304
 
 # 3) K=8 retunes at the auto threshold (klm minor dim, scatter payload
-#    packing — both were tuned at K=4)
+#    packing, scatter tile/chunk sizes — all were tuned at K=4; the K=8
+#    sorted stream is 2x the rows)
 run 2700 python scripts/meshrir_env_ab.py --interp=trilinear \
          klm16:AVR_TPU_KLM_MINOR=16 klm64:AVR_TPU_KLM_MINOR=64 \
          pf32:AVR_TPU_SCATTER_PAYLOAD=f32
+run 2700 python scripts/meshrir_env_ab.py --interp=trilinear \
+         ts2048:AVR_TPU_SCATTER_TS=2048 \
+         ts2048uc:AVR_TPU_SCATTER_TS=2048,AVR_TPU_SCATTER_UC=2048
 
 # 4) SPMD machinery overhead bound on the real chip (1-device mesh)
 run 2700 python scripts/spmd_overhead.py
