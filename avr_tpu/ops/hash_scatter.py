@@ -723,7 +723,11 @@ def _gather_lvl_bwd(res, g):
         # bf16 forward (production compute dtype) → the cotangent is
         # already bf16-grade; sorting it as packed bf16 pairs halves the
         # dominant sort traffic. fp32 forward keeps exact f32 payload.
-        payload = "bf16" if is_bf16 else None
+        # AVR_TPU_SCATTER_PAYLOAD overrides for A/B (without this the
+        # explicit argument here would silently ignore the env knob).
+        payload = os.environ.get("AVR_TPU_SCATTER_PAYLOAD") or (
+            "bf16" if is_bf16 else None
+        )
         d = scatter_add_rows(idx2, g2, E, payload=payload).astype(g.dtype)
     return d, jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
 

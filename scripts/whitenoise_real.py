@@ -43,11 +43,14 @@ def main():
         "results", "interp_fullbudget", "logs", "simplex_s0"
     )
     npz = latest_val_npz(run)
-    print(f"checkpoint npz: {npz}", flush=True)
+    # per-checkpoint output tree: the per-condition pickle cache keys do
+    # not include the npz path, so each checkpoint needs its own outdir
+    outroot = os.path.join(ROOT, os.path.basename(os.path.normpath(run)))
+    print(f"checkpoint npz: {npz} -> {outroot}", flush=True)
 
     # ---- long framing: the reference whitenoise_long_config.yml grid
     long_cfg = WhitenoiseConfig(
-        npz=npz, outdir=os.path.join(ROOT, "long"), fs=FS, seeds=[0],
+        npz=npz, outdir=os.path.join(outroot, "long"), fs=FS, seeds=[0],
         long_noise_seconds=100.0,
         stft_grid=[
             {"nfft": 512, "hop": 256, "win": "hann"},
@@ -64,7 +67,7 @@ def main():
 
     # ---- bandpass framing: stated subset of the reference grid
     bp_cfg = WhitenoiseConfig(
-        npz=npz, outdir=os.path.join(ROOT, "bandpass"), fs=FS, seeds=[0],
+        npz=npz, outdir=os.path.join(outroot, "bandpass"), fs=FS, seeds=[0],
         bands_hz=[(500.0, 6000.0), (1000.0, 4000.0)],
         band_names=["bp_0p5_6k", "bp_1_4k"],
         noise_seconds_list=[1.0, 2.0],
