@@ -929,7 +929,27 @@ def gather_rows_lmajor(table: Array, idx: Array, cast: Optional[str] = None) -> 
     """
     table = _maybe_pin_rowmajor(table)
     t = table.astype(cast) if cast is not None else table
-    return _maybe_barrier(t[idx])
+    return _maybe_barrier(t[_maybe_idx_barrier(idx)])
+
+
+def _maybe_idx_barrier(idx: Array) -> Array:
+    """AVR_TPU_IDX_BARRIER=1: keep the index PRODUCERS out of the gather
+    fusion.
+
+    AVR_TPU_GATHER_BARRIER splits the gather from its consumers and
+    measured FLAT on MeshRIR trilinear — the profiled fusion op was "a
+    bare gather". But fusions also absorb index math upstream: at K=8
+    each row's index is an 8-way corner hash (3 multiplies + 2 XORs per
+    axis per corner), 2× simplex's, and if the emitter evaluates it
+    per-row inside the gather loop the per-row cost scales with hash
+    complexity — one candidate for the measured 11.6 (K=8) vs 5.7
+    (K=4) ns/row gap on identical [L, rows/32, 32] emitted shapes.
+    Barriering idx forces the hash math into its own (vectorized, VPU
+    speed-of-light) fusion and leaves the gather loop reading
+    precomputed indices. Default off pending hardware A/B."""
+    if os.environ.get("AVR_TPU_IDX_BARRIER", "0") == "1":
+        return jax.lax.optimization_barrier(idx)
+    return idx
 
 
 def _maybe_barrier(g: Array) -> Array:
@@ -965,6 +985,7 @@ def _maybe_barrier(g: Array) -> Array:
 def _gather_lmaj_fwd(table, idx, cast):
     table = _maybe_pin_rowmajor(table)
     t = table.astype(cast) if cast is not None else table
+    idx = _maybe_idx_barrier(idx)
     return (
         _maybe_barrier(t[idx]),
         (idx, table.shape, int(t.dtype == jnp.bfloat16),
