@@ -1,12 +1,12 @@
 #!/bin/bash
-# Round-3 chip batch, part B2 — replaces part B's items 6-8 with a
+# Round-3 chip batch, part B3 — replaces part B's items 6-8 with a
 # budget-aware order (HPO trials measured ~30 min each; the round ends
 # before all of part B + C would fit). Waits on the running HPO python
 # PID, regenerates the study summary if the study was cut at a trial
 # boundary, then runs the SHORT high-value items first:
 #   spmd overhead bound (item 7) -> default-program trace (item 3 floor
 #   table) -> K=8 retunes (item 6) -> flagship headroom (item 8).
-# Usage: bash scripts/r3_hw_batch_b2.sh <hpo_pid>
+# Usage: bash scripts/r3_hw_batch_b3.sh <hpo_pid>
 cd /root/repo
 LOG=/tmp/r3_hw.log
 run() {
@@ -22,7 +22,7 @@ WAIT_PID="${1:-}"
 if [ -n "$WAIT_PID" ]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 15; done
 fi
-echo "==== part B2 starting [$(date +%H:%M:%S)]" >> "$LOG"
+echo "==== part B3 starting [$(date +%H:%M:%S)]" >> "$LOG"
 
 # If the study was cut mid-flight, re-running with the recorded trial
 # count skips training and just dumps study_trials.jsonl + the report
@@ -43,6 +43,14 @@ run 2700 python scripts/meshrir_env_ab.py --interp=trilinear \
 run 2700 python scripts/meshrir_env_ab.py --interp=trilinear \
          ts2048:AVR_TPU_SCATTER_TS=2048 \
          ts2048uc:AVR_TPU_SCATTER_TS=2048,AVR_TPU_SCATTER_UC=2048
+
+
+# 8b) trilinear-flagship one-hot re-test: the F=4 one-hot LOSS (82->90
+#     ms) was measured on the SIMPLEX flagship; at K=8 the per-level
+#     gather share doubles, so the crossover may flip.
+run 2700 python scripts/ab_env.py \
+         oh64k:AVR_TPU_DENSE_ONEHOT=65536 \
+         oh3e5:AVR_TPU_DENSE_ONEHOT=300000
 
 # 8) flagship headroom sweep (accept flat results; record them)
 run 3600 python scripts/ab_env.py base: \
