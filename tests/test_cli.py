@@ -349,3 +349,34 @@ def test_cli_plot_detail_scatters_and_loss_epoch(tmp_path):
         import os
 
         assert os.path.getsize(save) > 10_000
+
+
+def test_interp_gate_decision_on_committed_ab(capsys):
+    """The committed full-budget A/B must keep gating the headline flip.
+
+    Locks scripts/interp_gate.py's decision rule to the round-3 artifact
+    (results/interp_fullbudget/ab_summary.json): simplex measured worse
+    than trilinear outside seed noise on Angle, so the gate must demand
+    the trilinear flip that __graft_entry__/bench.py now ship. If a
+    future A/B overwrites the summary with different conclusions, this
+    test flags that the shipped default needs re-gating.
+    """
+    import runpy
+    import sys as _sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    summary = os.path.join(root, "results", "interp_fullbudget", "ab_summary.json")
+    assert os.path.exists(summary), "committed quality A/B summary missing"
+    argv, _sys.argv = _sys.argv, ["interp_gate.py", summary]
+    try:
+        with pytest.raises(SystemExit) as ei:
+            runpy.run_path(
+                os.path.join(root, "scripts", "interp_gate.py"),
+                run_name="__main__",
+            )
+    finally:
+        _sys.argv = argv
+    assert ei.value.code == 1, "gate no longer demands the trilinear flip"
+    out = capsys.readouterr().out
+    assert "flip headline to TRILINEAR" in out
+    assert "Angle" in out
