@@ -80,6 +80,20 @@ class MeshPlan:
             }
         return {k: jax.device_put(v, s) for k, v in batch.items()}
 
+    def shard_state(self, state):
+        """Replicate a (state) pytree onto the mesh up front.
+
+        Without this, the first train step takes unsharded arrays, its
+        OUTPUT state carries mesh shardings, and the second call sees a
+        new input signature → the whole step recompiles. Measured
+        (scripts/spmd_overhead.py, r3): the duplicate compile dominated
+        a 10-step timing loop and masqueraded as "+899% SPMD overhead";
+        with state pre-replicated the mesh step compiles once and
+        steady-state matches the meshless program.
+        """
+        s = self.replicated()
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), state)
+
 
 def initialize_multihost(
     coordinator_address: Optional[str] = None,

@@ -101,6 +101,11 @@ class AVRRunner:
         self.state = init_state(
             jax.random.PRNGKey(cfg.train.seed), self.fstatic, cfg.train
         )
+        if mesh_plan is not None:
+            # replicate up front: otherwise the step's output state gains
+            # mesh shardings the input lacked and step 2 RECOMPILES the
+            # whole program (mesh.shard_state docstring; measured r3)
+            self.state = mesh_plan.shard_state(self.state)
         self._step_fn, self._render_fn = make_train_step(
             self.fstatic, self.consts, cfg.render, cfg.train, self.crit, mesh_plan
         )
@@ -143,6 +148,8 @@ class AVRRunner:
         self.state = self._ckpt_mgr.restore(
             step, args=ocp.args.StandardRestore(abstract)
         )
+        if self.mesh_plan is not None:
+            self.state = self.mesh_plan.shard_state(self.state)
         self.logger.info("resumed from checkpoint step %d", int(self.state.step))
         return True
 

@@ -57,6 +57,8 @@ def _train_step_loss(jax, plan):
     crit = CriterionConfig.from_configs(cfg.train, cfg.render)
     step_fn, _ = make_train_step(fst, consts, cfg.render, cfg.train, crit, plan)
     state = init_state(jax.random.PRNGKey(0), fst, cfg.train)
+    if plan is not None:
+        state = plan.shard_state(state)  # avoid step-2 resharding recompile
 
     rng = np.random.default_rng(0)  # seed-synchronized across ranks
     F = cfg.model.signal_output_dim // 2 + 1

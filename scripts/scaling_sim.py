@@ -109,6 +109,8 @@ def run(n_devices: int, data_parallel=None, bs: int = 8, n_azi=None, n_ele=None,
     crit = CriterionConfig.from_configs(cfg.train, cfg.render)
     step_fn, _ = make_train_step(fst, consts, cfg.render, cfg.train, crit, plan)
     state = init_state(jax.random.PRNGKey(0), fst, cfg.train)
+    if plan is not None:
+        state = plan.shard_state(state)  # avoid step-2 resharding recompile
 
     rng = np.random.default_rng(0)
     F = cfg.model.signal_output_dim // 2 + 1

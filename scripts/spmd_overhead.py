@@ -35,6 +35,13 @@ from avr_tpu.train.state import init_state, make_train_step  # noqa: E402
 def time_variant(label, plan, cfg, fst, consts, crit, batch_np, steps):
     step_fn, _ = make_train_step(fst, consts, cfg.render, cfg.train, crit, plan)
     state = init_state(jax.random.PRNGKey(0), fst, cfg.train)
+    if plan is not None:
+        # replicate up front — without this the step's OUTPUT state gains
+        # mesh shardings the input lacked and the SECOND call recompiles
+        # the whole program. The first version of this script warmed with
+        # one call only; that hidden second compile landed inside the
+        # timed loop and masqueraded as "+899% SPMD overhead" (r3).
+        state = plan.shard_state(state)
     batch = (
         plan.shard_batch(batch_np)
         if plan is not None
@@ -45,6 +52,12 @@ def time_variant(label, plan, cfg, fst, consts, crit, batch_np, steps):
     state, bundle = step_fn(state, batch, key)
     first = float(jax.device_get(bundle.total))  # fetch = barrier
     compile_s = time.perf_counter() - t0
+    # second warm step: catches any residual signature change (and logs
+    # it — steady-state timing must never include a compile)
+    t0 = time.perf_counter()
+    state, bundle = step_fn(state, batch, jax.random.fold_in(key, 999))
+    float(jax.device_get(bundle.total))
+    warm2_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(steps):
         state, bundle = step_fn(state, batch, jax.random.fold_in(key, i))
@@ -52,6 +65,7 @@ def time_variant(label, plan, cfg, fst, consts, crit, batch_np, steps):
     dt = (time.perf_counter() - t0) / steps
     print(
         f"{label}: {dt * 1e3:.1f} ms/step (compile+first {compile_s:.0f}s, "
+        f"second warm step {warm2_s * 1e3:.0f} ms, "
         f"loss {first:.5f} -> {last:.5f})",
         flush=True,
     )
