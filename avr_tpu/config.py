@@ -105,10 +105,13 @@ class EncodingConfig:
     log2_hashmap_size: int = 18
     base_resolution: int = 16
     per_level_scale: float = 2.0
-    # "trilinear" (tcnn's "Linear", 8 corners/level) or "simplex" (Kuhn
+    # "trilinear" (tcnn's "Linear", 8 corners/level), "simplex" (Kuhn
     # tetrahedral, 4 vertices/level — halves the gather/scatter row
-    # stream on TPU; see avr_tpu/models/hashgrid.py). Unrecognized values
-    # (e.g. tcnn's "Smoothstep") fall back to trilinear.
+    # stream on TPU; see avr_tpu/models/hashgrid.py), "hybrid[:N]"
+    # (trilinear on the N finest levels, simplex below — N defaults to
+    # half the levels), or "levels:<s|t per level, coarsest first>".
+    # Unrecognized values (e.g. tcnn's "Smoothstep") fall back to
+    # trilinear.
     interpolation: str = "trilinear"
     # Frequency-encoding fallback (otype == "Frequency").
     n_frequencies: int = 12

@@ -64,6 +64,11 @@ class HashGridStatic:
     # tetrahedral interpolation, 4 vertices per (point, level) — halves
     # the latency-bound gather row stream fwd AND the scatter-add update
     # stream bwd (the step's dominant costs on TPU), stays C0-continuous.
+    # "levels:sstt..." (canonical form of config "hybrid[:N]"): a
+    # per-level mix — encode() splits the level range into contiguous
+    # same-mode groups and runs each group's pipeline at its own K
+    # (the simplex levels drop their share of the dominant row stream
+    # while the trilinear levels keep tcnn-parity interpolation).
     interp: str = "trilinear"
 
     @property
@@ -72,7 +77,82 @@ class HashGridStatic:
 
     @property
     def n_corners(self) -> int:
+        if self.interp.startswith("levels:"):
+            raise ValueError(
+                "mixed-interpolation static has no single K; encode() "
+                "must split it into per-mode groups first"
+            )
         return 4 if self.interp == "simplex" else 8
+
+
+def _parse_interp(spec, n_levels: int) -> str:
+    """Canonicalize an EncodingConfig.interpolation spec.
+
+    Accepted: "trilinear" (default, tcnn "Linear" parity), "simplex",
+    "hybrid[:N]" (trilinear on the N FINEST levels, simplex below;
+    N defaults to half the levels rounded up), and "levels:<s|t ×L>"
+    (explicit per-level modes, coarsest first). Degenerate mixes
+    collapse to the pure mode; unrecognized values fall back to
+    trilinear (matching tcnn's behaviour for e.g. "Smoothstep").
+    """
+    s = str(spec or "").lower()
+    if s == "simplex":
+        return "simplex"
+    if s.startswith("hybrid"):
+        n_tri = int(s.split(":")[1]) if ":" in s else (n_levels + 1) // 2
+        n_tri = max(0, min(n_levels, n_tri))
+        if n_tri == 0:
+            return "simplex"
+        if n_tri == n_levels:
+            return "trilinear"
+        return "levels:" + "s" * (n_levels - n_tri) + "t" * n_tri
+    if s.startswith("levels:"):
+        modes = s.split(":", 1)[1]
+        if len(modes) != n_levels or not set(modes) <= {"s", "t"}:
+            raise ValueError(
+                f"levels: spec must be {n_levels} chars of s/t, got {modes!r}"
+            )
+        if "s" not in modes:
+            return "trilinear"
+        if "t" not in modes:
+            return "simplex"
+        return "levels:" + modes
+    return "trilinear"
+
+
+def _slice_static(
+    static: HashGridStatic, lo: int, hi: int, interp: str
+) -> HashGridStatic:
+    """Static covering levels [lo, hi) of the SAME flat table.
+
+    total/padded entries stay those of the parent so the group's gather
+    VJP scatters into the full parameter shape (groups' gradients sum).
+    """
+    return HashGridStatic(
+        n_levels=hi - lo,
+        n_features=static.n_features,
+        resolutions=static.resolutions[lo:hi],
+        offsets=static.offsets[lo:hi],
+        sizes=static.sizes[lo:hi],
+        hashed=static.hashed[lo:hi],
+        total_entries=static.total_entries,
+        padded_entries=static.padded_entries,
+        interp=interp,
+    )
+
+
+def _hybrid_groups(static: HashGridStatic):
+    """Contiguous same-mode level groups of a mixed static (else None)."""
+    if not static.interp.startswith("levels:"):
+        return None
+    modes = static.interp.split(":", 1)[1]
+    groups, lo = [], 0
+    for i in range(1, static.n_levels + 1):
+        if i == static.n_levels or modes[i] != modes[lo]:
+            mode = "simplex" if modes[lo] == "s" else "trilinear"
+            groups.append(_slice_static(static, lo, i, mode))
+            lo = i
+    return groups
 
 
 def build_static(cfg: EncodingConfig) -> HashGridStatic:
@@ -99,11 +179,7 @@ def build_static(cfg: EncodingConfig) -> HashGridStatic:
         hashed=tuple(hashed),
         total_entries=offset,
         padded_entries=-(-offset // 4096) * 4096,
-        interp=(
-            "simplex"
-            if str(getattr(cfg, "interpolation", "")).lower() == "simplex"
-            else "trilinear"
-        ),
+        interp=_parse_interp(getattr(cfg, "interpolation", ""), cfg.n_levels),
     )
 
 
@@ -710,6 +786,15 @@ def encode(
     ~2.4x faster than 32-byte rows, measured), and the consumers are bf16
     matmuls anyway; interpolation still accumulates in fp32.
     """
+    groups = _hybrid_groups(static)
+    if groups is not None:
+        # mixed interpolation: encode each contiguous same-mode level
+        # group at its own K and concatenate level-major — the flattened
+        # [..., L·F] layout is level-major, so group concat along the
+        # last axis reproduces the pure-mode output ordering exactly.
+        return jnp.concatenate(
+            [encode(table, g, x, compute_dtype) for g in groups], axis=-1
+        )
     layout = _enc_layout()
     if layout in ("klm", "level"):
         cast = (
@@ -764,6 +849,13 @@ def encode_pair_fused(
     Fh = static.n_features
     lead = x.shape[:-1]
 
+    groups = _hybrid_groups(static)
+    if groups is not None:
+        outs = [encode_pair_fused(fused, g, x, compute_dtype) for g in groups]
+        return (
+            jnp.concatenate([o[0] for o in outs], axis=-1),
+            jnp.concatenate([o[1] for o in outs], axis=-1),
+        )
     layout = _enc_layout()
     if layout in ("klm", "level"):
         cast = (

@@ -1034,10 +1034,14 @@ def _gather_lmaj_bwd(cast, res, g):
         # payload packer (no f32 round-trip; sums still accumulate fp32
         # on the MXU). The scatter output is fp32 and goes straight to
         # the table's dtype (fp32 params: no conversion at all).
-        payload = "bf16" if is_bf16 else None
+        # AVR_TPU_SCATTER_PAYLOAD overrides for A/B (same rule as
+        # _gather_lvl_bwd — this is the default klm-layout backward).
+        payload = os.environ.get("AVR_TPU_SCATTER_PAYLOAD") or (
+            "bf16" if is_bf16 else None
+        )
         g2 = g.reshape(L, M, F)
-        if not (is_bf16 and F % 2 == 0):  # packed path needs even F
-            g2 = g2.astype(jnp.float32)
+        if not (payload == "bf16" and is_bf16 and F % 2 == 0):
+            g2 = g2.astype(jnp.float32)  # packed path needs bf16 + even F
         d = scatter_add_rows(idx.reshape(L, M), g2, E, payload=payload).astype(
             out_dtype
         )

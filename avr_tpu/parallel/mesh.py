@@ -90,8 +90,20 @@ class MeshPlan:
         a 10-step timing loop and masqueraded as "+899% SPMD overhead";
         with state pre-replicated the mesh step compiles once and
         steady-state matches the meshless program.
+
+        Multi-host: plain device_put cannot place data on another
+        process's devices — build each replicated global array from the
+        process-local copy instead (every process holds identical state;
+        the seed is shared), mirroring shard_batch's branch.
         """
         s = self.replicated()
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    s, np.asarray(x), global_shape=np.shape(x)
+                ),
+                state,
+            )
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), state)
 
 

@@ -91,7 +91,7 @@ def ensure_dataset(data_dir: str) -> None:
 
 
 def run_one(interp: str, seed: int, iters: int, data_dir: str) -> dict:
-    name = f"{interp}_s{seed}"
+    name = f"{interp.replace(':', '')}_s{seed}"
     logdir = os.path.join(ROOT, "logs")
     result_path = os.path.join(logdir, name, "result.json")
     if os.path.exists(result_path):
@@ -131,17 +131,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("iters", nargs="?", type=int, default=40_000)
     ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--modes", default="trilinear,simplex",
+                    help="comma-separated interpolation specs (e.g. "
+                         "'trilinear,hybrid:4,levels:ttttssssssss')")
     ap.add_argument("--calibrate", action="store_true",
                     help="300-iter step-time probe per mode, then exit")
+    ap.add_argument("--summary", default="ab_summary.json",
+                    help="summary filename under results/interp_fullbudget/")
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
+    modes = args.modes.split(",")
 
     os.makedirs(os.path.join(ROOT, "logs"), exist_ok=True)
     data_dir = os.path.join(ROOT, "data")
     ensure_dataset(data_dir)
 
     if args.calibrate:
-        for interp in ("simplex", "trilinear"):
+        for interp in modes:
             res = run_one(interp, 99, 300, data_dir)
             print(f"CALIBRATE {interp}: {res['ms_per_step']:.1f} ms/step "
                   "(incl. compile)", flush=True)
@@ -149,30 +155,32 @@ def main():
 
     results = []
     for seed in seeds:
-        for interp in ("trilinear", "simplex"):
+        for interp in modes:
             results.append(run_one(interp, seed, args.iters, data_dir))
 
     # ---- report --------------------------------------------------------
     keys = sorted(results[0]["summary"])
     print("\n==== per-metric mean ± std over seeds ====", flush=True)
     table = {}
-    for interp in ("trilinear", "simplex"):
+    for interp in modes:
         rows = [r["summary"] for r in results if r["interp"] == interp]
         table[interp] = {
             k: (float(np.mean([r[k] for r in rows])),
                 float(np.std([r[k] for r in rows]))) for k in keys
         }
-    hdr = f"{'metric':16s} {'trilinear':>22s} {'simplex':>22s}"
+    hdr = f"{'metric':16s}" + "".join(f" {m:>22s}" for m in modes)
     print(hdr, flush=True)
     for k in keys:
-        t_m, t_s = table["trilinear"][k]
-        s_m, s_s = table["simplex"][k]
-        print(f"{k:16s} {t_m:12.5g} ±{t_s:8.3g} {s_m:12.5g} ±{s_s:8.3g}",
-              flush=True)
-    with open(os.path.join(ROOT, "ab_summary.json"), "w") as f:
-        json.dump({"iters": args.iters, "seeds": seeds, "table": table,
-                   "runs": results}, f, indent=1)
-    print(f"\nsummary -> {os.path.join(ROOT, 'ab_summary.json')}", flush=True)
+        row = f"{k:16s}"
+        for m in modes:
+            mm, ms = table[m][k]
+            row += f" {mm:12.5g} ±{ms:8.3g}"
+        print(row, flush=True)
+    out_path = os.path.join(ROOT, args.summary)
+    with open(out_path, "w") as f:
+        json.dump({"iters": args.iters, "seeds": seeds, "modes": modes,
+                   "table": table, "runs": results}, f, indent=1)
+    print(f"\nsummary -> {out_path}", flush=True)
 
 
 if __name__ == "__main__":

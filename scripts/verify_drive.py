@@ -113,3 +113,4 @@ def main(interp="trilinear"):
 if __name__ == "__main__":
     main("trilinear")
     main("simplex")
+    main("hybrid:2")  # mixed per-level interpolation (round 4)

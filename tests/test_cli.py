@@ -378,5 +378,10 @@ def test_interp_gate_decision_on_committed_ab(capsys):
         _sys.argv = argv
     assert ei.value.code == 1, "gate no longer demands the trilinear flip"
     out = capsys.readouterr().out
-    assert "flip headline to TRILINEAR" in out
-    assert "Angle" in out
+    # the decisive line must name Angle in its flip set — a bare
+    # "Angle" substring check is trivially satisfied by the per-metric
+    # table rows printed for every run (ADVICE r3).
+    gate_lines = [l for l in out.splitlines() if "flip headline to TRILINEAR" in l]
+    assert gate_lines, "gate verdict line missing"
+    flip_set = gate_lines[0].split("worse outside seed noise on:")[-1]
+    assert "Angle" in flip_set, f"Angle not in the gate's flip set: {gate_lines[0]}"

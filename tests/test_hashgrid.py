@@ -422,3 +422,104 @@ def test_pack4_gather_matches_default_path(rng, monkeypatch):
     np.testing.assert_allclose(a0, a1, rtol=0, atol=1e-6)
     np.testing.assert_allclose(b0, b1, rtol=0, atol=1e-6)
     np.testing.assert_allclose(g0, g1, rtol=0, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Hybrid (per-level mixed) interpolation — round-4 lever: trilinear on
+# the finest levels (where the quality A/B localized simplex's phase
+# loss), simplex below (dropping most of the dominant K=8 row stream).
+# ----------------------------------------------------------------------
+def _hybrid_cfg(interp, n_levels=6):
+    return EncodingConfig(
+        n_levels=n_levels, n_features_per_level=2, log2_hashmap_size=7,
+        base_resolution=3, per_level_scale=1.7, interpolation=interp,
+    )
+
+
+def test_parse_interp_canonicalization():
+    L = 6
+    assert hashgrid.build_static(_hybrid_cfg("hybrid:0")).interp == "simplex"
+    assert hashgrid.build_static(_hybrid_cfg("hybrid:6")).interp == "trilinear"
+    assert hashgrid.build_static(_hybrid_cfg("hybrid:2")).interp == "levels:sssstt"
+    # default split = half the levels, rounded up, on the fine end
+    assert hashgrid.build_static(_hybrid_cfg("hybrid")).interp == "levels:sssttt"
+    assert hashgrid.build_static(_hybrid_cfg("levels:tttttt")).interp == "trilinear"
+    assert hashgrid.build_static(_hybrid_cfg("levels:ssssss")).interp == "simplex"
+    assert hashgrid.build_static(_hybrid_cfg("levels:tsstst")).interp == "levels:tsstst"
+    import pytest
+
+    with pytest.raises(ValueError):
+        hashgrid.build_static(_hybrid_cfg("levels:ts"))  # wrong length
+    with pytest.raises(ValueError):
+        hashgrid.build_static(_hybrid_cfg("hybrid:2")).n_corners
+
+
+def test_hybrid_matches_pure_modes_per_level(rng):
+    """hybrid:N output columns equal the pure-mode encodings level-wise."""
+    n_tri, L, F = 2, 6, 2
+    st_h = hashgrid.build_static(_hybrid_cfg(f"hybrid:{n_tri}"))
+    st_s = hashgrid.build_static(_hybrid_cfg("simplex"))
+    st_t = hashgrid.build_static(_hybrid_cfg("trilinear"))
+    table = hashgrid.init(jax.random.PRNGKey(3), st_h)
+    x = jnp.asarray(rng.uniform(0, 1, (96, 3)), jnp.float32)
+
+    out_h = np.asarray(hashgrid.encode(table, st_h, x))
+    out_s = np.asarray(hashgrid.encode(table, st_s, x))
+    out_t = np.asarray(hashgrid.encode(table, st_t, x))
+    split = (L - n_tri) * F
+    np.testing.assert_allclose(out_h[:, :split], out_s[:, :split], atol=1e-6)
+    np.testing.assert_allclose(out_h[:, split:], out_t[:, split:], atol=1e-6)
+
+
+def test_hybrid_gradients_finite_diff(rng):
+    st, _ = None, None
+    static = hashgrid.build_static(_hybrid_cfg("hybrid:3"))
+    table = hashgrid.init(jax.random.PRNGKey(1), static)
+    x = jnp.asarray(rng.uniform(0.05, 0.95, (24, 3)), jnp.float32)
+
+    def loss(tab):
+        return jnp.sum(jnp.sin(hashgrid.encode(tab, static, x)))
+
+    g = jax.grad(loss)(table)
+    assert g.shape == table.shape
+    gn = np.asarray(g)
+    assert np.isfinite(gn).all() and np.abs(gn).sum() > 0
+    i = int(np.argmax(np.abs(gn).sum(axis=-1)))
+    eps = 1e-4
+    fd = (loss(table.at[i, 0].add(eps)) - loss(table.at[i, 0].add(-eps))) / (
+        2 * eps
+    )
+    np.testing.assert_allclose(float(fd), gn[i, 0], rtol=2e-2, atol=1e-5)
+
+
+def test_hybrid_pair_fused_matches_pure(rng):
+    n_tri = 2
+    st_h = hashgrid.build_static(_hybrid_cfg(f"hybrid:{n_tri}", n_levels=4))
+    st_s = hashgrid.build_static(_hybrid_cfg("simplex", n_levels=4))
+    st_t = hashgrid.build_static(_hybrid_cfg("trilinear", n_levels=4))
+    fused = jnp.asarray(
+        rng.normal(size=(st_h.padded_entries, 4)), jnp.float32
+    )
+    x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+    ah, bh = hashgrid.encode_pair_fused(fused, st_h, x)
+    as_, bs = hashgrid.encode_pair_fused(fused, st_s, x)
+    at, bt = hashgrid.encode_pair_fused(fused, st_t, x)
+    split = (4 - n_tri) * 2
+    for h, s, t in ((ah, as_, at), (bh, bs, bt)):
+        np.testing.assert_allclose(
+            np.asarray(h)[:, :split], np.asarray(s)[:, :split], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(h)[:, split:], np.asarray(t)[:, split:], atol=1e-6
+        )
+
+
+def test_hybrid_is_continuous():
+    static = hashgrid.build_static(_hybrid_cfg("hybrid:3"))
+    table = hashgrid.init(jax.random.PRNGKey(2), static)
+    xs = np.stack([np.linspace(0.3301, 0.3367, 64)] * 3, axis=-1).astype(
+        np.float32
+    )
+    out = np.asarray(hashgrid.encode(table, static, jnp.asarray(xs)))
+    step = np.abs(np.diff(out, axis=0)).max()
+    assert step < 5e-3, f"jump {step} across cell boundary"
