@@ -122,22 +122,39 @@ class AVRRunner:
         import orbax.checkpoint as ocp
 
         return ocp.CheckpointManager(
-            self._ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=5)
+            self._ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=5,
+                # async saves: the hot loop hands the state to a
+                # background thread and keeps training (SURVEY §5; the
+                # reference blocks on torch.save, avr_runner.py:131-154
+                # — the TPU build should do better, not equal). Orbax
+                # serializes successive saves itself; explicit barriers
+                # remain only where durability is required: before a
+                # restore and at train() exit.
+                enable_async_checkpointing=True,
+            ),
         )
 
-    def save_checkpoint(self) -> int:
+    def save_checkpoint(self, wait: bool = False) -> int:
         import orbax.checkpoint as ocp
 
         step = int(self.state.step)
-        self._ckpt_mgr.save(
-            step, args=ocp.args.StandardSave(jax.device_get(self.state))
-        )
-        self._ckpt_mgr.wait_until_finished()
+        # hand orbax the DEVICE state: the manager's background thread
+        # performs the D2H fetch + write; a host-side jax.device_get here
+        # would block the train loop on the full transfer (measured
+        # ~async-vs-sync table in docs/PERFORMANCE.md round 4)
+        self._ckpt_mgr.save(step, args=ocp.args.StandardSave(self.state))
+        if wait:
+            self._ckpt_mgr.wait_until_finished()
         return step
 
     def load_checkpoint(self, step: Optional[int] = None) -> bool:
         import orbax.checkpoint as ocp
 
+        # durability barrier: never read the manager's directory while a
+        # background save may still be committing
+        self._ckpt_mgr.wait_until_finished()
         step = step if step is not None else self._ckpt_mgr.latest_step()
         if step is None:
             self.logger.info("no checkpoint to resume from")
@@ -232,7 +249,7 @@ class AVRRunner:
                     self.validate(it, mode_set="train")
                 if it >= tc.total_iterations:
                     break
-        self.save_checkpoint()
+        self.save_checkpoint(wait=True)  # exit barrier: final ckpt durable
         self.writer.flush()
 
     def _current_lr(self, step: int) -> float:

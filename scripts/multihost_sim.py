@@ -76,6 +76,70 @@ def _train_step_loss(jax, plan):
     return float(jax.device_get(bundle.total)), plan
 
 
+def _tiny_cfg(log_dir: str, expname: str = "mh_val"):
+    from avr_tpu.config import AVRConfig, EncodingConfig, MLPConfig, PathConfig, TrainConfig
+
+    cfg = AVRConfig()
+    cfg.path = PathConfig(expname=expname, dataset_type="Simu", logdir=log_dir)
+    rc = cfg.render
+    rc.xyz_min, rc.xyz_max = [0.0] * 3, [6.0, 5.0, 3.0]
+    rc.near, rc.far = 0.0, 3.0
+    rc.n_samples, rc.n_azi, rc.n_ele = 4, 6, 3
+    rc.speed, rc.fs, rc.pathloss = 343.8, 2000, 0.5
+    cfg.model.signal_output_dim = 128
+    enc = EncodingConfig(n_levels=4, log2_hashmap_size=8, base_resolution=4)
+    cfg.model.pos_encoding_sigma = enc
+    cfg.model.dir_encoding_sig = enc
+    cfg.model.tx_encoding_sig = enc
+    cfg.model.sigma_encoder_network = MLPConfig(n_neurons=32, n_hidden_layers=2)
+    cfg.model.sigma_decoder_network = MLPConfig(n_neurons=32, n_hidden_layers=1)
+    cfg.model.signal_network = MLPConfig(n_neurons=32, n_hidden_layers=2)
+    cfg.train = TrainConfig(
+        lr=1e-3, eta_min=1e-4, T_max=10, total_iterations=10,
+        batch_size=8, save_freq=1000, val_freq=1000, log_freq=5, seed=0,
+    )
+    return cfg
+
+
+CKPT_SHARED_LOG = "/tmp/mh_ckpt_shared_logs"  # launcher pre-cleans
+
+
+def _ckpt_leg(jax, plan, rank: int):
+    """Multi-host orbax checkpointing: both ranks train (collective async
+    save + exit barrier at train() end), then a FRESH runner restores
+    from the SHARED checkpoint directory (the collective restore path).
+    Returns (resumed step, max |param diff| vs the trained state)."""
+    import tempfile
+
+    import numpy as np
+
+    from avr_tpu.data import synthetic
+    from avr_tpu.train.runner import AVRRunner
+
+    data_dir = tempfile.mkdtemp(prefix=f"mh_ckptdata_r{rank}_")
+    room = synthetic.RoomSpec(size=(6.0, 5.0, 3.0), max_order=1, fs=2000, seq_len=128)
+    synthetic.write_simu_dataset(data_dir, room, n=16)
+
+    cfg = _tiny_cfg(CKPT_SHARED_LOG, expname="mh_ckpt")
+    cfg.train.total_iterations = 4
+    runner = AVRRunner(cfg, data_dir, mesh_plan=plan)
+    runner.train()
+    p0 = jax.device_get(runner.state.params)
+
+    cfg2 = _tiny_cfg(CKPT_SHARED_LOG, expname="mh_ckpt")
+    cfg2.train.total_iterations = 4
+    cfg2.train.load_ckpt = True
+    runner2 = AVRRunner(cfg2, data_dir, mesh_plan=plan)
+    p1 = jax.device_get(runner2.state.params)
+    diff = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)
+        )
+    )
+    return int(runner2.state.step), diff
+
+
 def _validate_metrics(jax, plan, rank: int) -> dict:
     """AVRRunner.validate over the mesh: covers _device_batch's
     multi-host sharding and render_dataset's process_allgather."""
@@ -137,6 +201,8 @@ def rank_main(rank: int) -> None:
                                         sorted(metrics.items())),
         flush=True,
     )
+    step, diff = _ckpt_leg(jax, plan, rank)
+    print(f"rank {rank}: ckpt step={step} diff={diff:.3e}", flush=True)
     jax.distributed.shutdown()
 
 
@@ -161,6 +227,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ref":
         ref_main()
         return
+    import shutil
+
+    shutil.rmtree(CKPT_SHARED_LOG, ignore_errors=True)  # stale-resume guard
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, "rank", str(r)],
@@ -175,7 +244,7 @@ def main() -> None:
     )
     outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
     ref_out = ref.communicate(timeout=1800)[0].decode()
-    losses, vals = [], []
+    losses, vals, ckpts = [], [], []
     for r, out in enumerate(outs):
         for line in out.splitlines():
             if line.startswith(f"rank {r}: loss") or (
@@ -186,6 +255,9 @@ def main() -> None:
             if line.startswith(f"rank {r}: val"):
                 print(line)
                 vals.append(line.split("val ")[1])
+            if line.startswith(f"rank {r}: ckpt"):
+                print(line)
+                ckpts.append(line.split("ckpt ")[1])
     ref_loss = None
     for line in ref_out.splitlines():
         if line.startswith("ref:"):
@@ -200,8 +272,12 @@ def main() -> None:
         f"2-process loss {losses[0]} != single-process {ref_loss} (rel {rel:.2e})"
     )
     assert len(vals) == 2 and vals[0] == vals[1], vals
+    assert len(ckpts) == 2 and ckpts[0] == ckpts[1] == "step=4 diff=0.000e+00", (
+        ckpts
+    )
     print(f"loss rel-vs-single-process: {rel:.2e}")
-    print("MULTIHOST SIM OK (train step + validate/process_allgather)")
+    print("MULTIHOST SIM OK (train step + validate/process_allgather "
+          "+ async ckpt save/restore)")
 
 
 if __name__ == "__main__":
