@@ -88,7 +88,10 @@ class TrainConfig:
     # (render/fused.py point_budget) — caps peak memory on heavy shapes
     # like the reference MeshRIR config (820k points/step at batch 4).
     point_budget: int = 4_000_000
-    remat: bool = True  # rematerialize the scan body in the backward pass
+    # rematerialization of the render scan bodies in the backward pass:
+    # True/"full", False/"none", or a jax.checkpoint_policies name
+    # ("dots", "dots_nb") — see render/fused.py:_remat_wrap
+    remat: Any = True
     steps_per_call: int = 1  # optimizer steps folded into one dispatch (scan)
     seed: int = 0
     log_freq: int = 20

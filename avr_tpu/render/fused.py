@@ -92,6 +92,30 @@ def _pick_chunk(n_samples: int, requested: int) -> int:
     return c
 
 
+def _remat_wrap(fn, remat):
+    """Wrap a scan body per the rematerialization spec.
+
+    ``remat`` (TrainConfig.remat / render_fused arg; AVR_TPU_REMAT env
+    overrides for A/B): True/"full" = bare jax.checkpoint (recompute
+    everything in the backward — the measured default: residual traffic
+    beats recompute on every workload tried, docs/PERFORMANCE.md);
+    False/"none" = save all residuals; "dots" =
+    jax.checkpoint_policies.dots_saveable (save MXU matmul outputs,
+    recompute the cheap elementwise/gather glue); "dots_nb" =
+    dots_with_no_batch_dims_saveable (save only non-batch contractions).
+    """
+    spec = os.environ.get("AVR_TPU_REMAT") or remat
+    if spec in (False, "none", "0"):
+        return fn
+    if spec in (True, "full", "1"):
+        return jax.checkpoint(fn)
+    policy = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_nb": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }[str(spec)]
+    return jax.checkpoint(fn, policy=policy)
+
+
 def render_fused(
     params,
     fstatic: field_lib.FieldStatic,
@@ -105,7 +129,7 @@ def render_fused(
     dirs: Optional[Array] = None,
     compute_dtype=jnp.bfloat16,
     shell_chunk: int = 1,
-    remat: bool = True,
+    remat="full",
     point_budget: int = 4_000_000,
     ray_weights: Optional[Array] = None,
 ) -> Array:
@@ -182,7 +206,7 @@ def render_fused(
             )
             return carry, a[..., 0]  # [bs, R, C]
 
-        body_a = jax.checkpoint(attn_body) if remat else attn_body
+        body_a = _remat_wrap(attn_body, remat)
         _, attn_chunks = jax.lax.scan(body_a, None, d_vals.reshape(n_chunks, C))
         attn = attn_chunks.transpose(1, 2, 0, 3).reshape(bs, R, S)
 
@@ -317,7 +341,7 @@ def render_fused(
                 None,
             )
 
-    body_s = jax.checkpoint(signal_body) if remat else signal_body
+    body_s = _remat_wrap(signal_body, remat)
     init = (jnp.zeros((bs, F), jnp.float32), jnp.zeros((bs, F), jnp.float32))
     (out_re, out_im), _ = jax.lax.scan(body_s, init, tuple(xs))
     return jnp.stack([out_re, out_im], axis=-1)

@@ -219,3 +219,33 @@ def test_random_azimuth_changes_output(rng):
     )
     assert np.abs(o1 - o2).max() > 1e-9  # different keys differ
     np.testing.assert_allclose(o1, o1b)  # same key reproduces
+
+
+@pytest.mark.parametrize("remat", ["none", "dots", "dots_nb"])
+def test_remat_policies_match_full(rng, remat):
+    """Every rematerialization policy (render/fused._remat_wrap) must
+    reproduce the default full-remat gradients exactly — policies change
+    what the backward SAVES, never what it computes."""
+    params, fst, consts, rc = _setup()
+    rays_o, tx, _ = _batch(rng, 2)
+    target = jnp.asarray(
+        rng.normal(size=(2, fst.signal_output_dim // 2 + 1, 2)), jnp.float32
+    )
+
+    def grads(mode):
+        def f(p):
+            out = fused.render_fused(
+                p, fst, consts, rc, rays_o, tx, compute_dtype=None,
+                shell_chunk=2, point_budget=0, remat=mode,
+            )
+            return jnp.mean((out - target) ** 2)
+        return jax.grad(f)(params)
+
+    g_full = grads("full")
+    g_pol = grads(remat)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        g_full, g_pol,
+    )
