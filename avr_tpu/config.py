@@ -93,6 +93,11 @@ class TrainConfig:
     # ("dots", "dots_nb") — see render/fused.py:_remat_wrap
     remat: Any = True
     steps_per_call: int = 1  # optimizer steps folded into one dispatch (scan)
+    # pass lr/eta_min/T_max/weight_decay/loss weights as RUNTIME scalars
+    # instead of baking them into the compiled program — configs that
+    # differ only in these share one program (compile-aware HPO,
+    # train/state.make_hparams)
+    runtime_hparams: bool = False
     seed: int = 0
     log_freq: int = 20
     extra: Dict[str, Any] = field(default_factory=dict)

@@ -41,7 +41,34 @@ def update_config(
 ) -> AVRConfig:
     cfg = copy.deepcopy(cfg)
     base_batch = cfg.train.batch_size
-    if trial is not None:
+    if trial is not None and variant == "runtime":
+        # Compile-aware space (VERDICT r3 item 7): sample ONLY
+        # program-shape-invariant params — lr/eta_min/weight_decay and
+        # the loss weights, all passed to the compiled step as runtime
+        # scalars (TrainConfig.runtime_hparams) — so every trial reuses
+        # one compiled program instead of paying a fresh remote compile.
+        # Structure (batch size, ray/sample counts, widths, which DAS
+        # terms exist) stays at the base config's values.
+        t = cfg.train
+        t.runtime_hparams = True
+        t.lr = trial.suggest_float("lr", 1e-6, 1e-4, log=True)
+        t.eta_min = trial.suggest_float("eta_min", t.lr * 1e-2, t.lr * 5e-1, log=True)
+        t.weight_decay = trial.suggest_float("weight_decay", 0, 1e-3)
+        t.spec_loss_weight = trial.suggest_float("spec_loss_weight", 0, 100)
+        t.angle_loss_weight = trial.suggest_float("angle_loss_weight", 0, 100)
+        t.time_loss_weight = trial.suggest_float("time_loss_weight", 0, 100)
+        t.energy_loss_weight = trial.suggest_float("energy_loss_weight", 0, 100)
+        t.multistft_loss_weight = trial.suggest_float("multistft_loss_weight", 0, 100)
+        if t.das_reg_loss_weight > 0:  # value runtime, branch structural
+            t.das_reg_loss_weight = trial.suggest_float(
+                "das_reg_loss_weight", 1.0, 100.0, log=True
+            )
+        if t.das_ce_loss_weight > 0:
+            t.das_ce_loss_weight = trial.suggest_float(
+                "das_ce_loss_weight", 1.0, 100.0, log=True
+            )
+        batch_size = base_batch
+    elif trial is not None:
         t = cfg.train
         batch_size = 2 ** trial.suggest_int("batch_size", 0, 3)
         t.lr = trial.suggest_float("lr", 1e-6, 1e-4, log=True)
@@ -189,7 +216,7 @@ def main(argv=None):
     p.add_argument("--study_name", default="avr_tpu_study")
     p.add_argument("--storage", default=None)
     p.add_argument("--variant", default="base",
-                   choices=["base", "ch", "ch_without_das", "ch_only_das", "das"])
+                   choices=["base", "ch", "ch_without_das", "ch_only_das", "das", "runtime"])
     args = p.parse_args(argv)
 
     base_cfg = AVRConfig.from_yaml(args.config)

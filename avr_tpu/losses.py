@@ -211,14 +211,26 @@ def energy_decay_curve(time_sig: Array) -> Array:
 
 
 def criterion(
-    pred_sig: Array, ori_sig: Array, cfg: CriterionConfig
+    pred_sig: Array, ori_sig: Array, cfg: CriterionConfig, weights=None
 ) -> Tuple[LossBundle, Array, Array]:
     """Compute the weighted loss bank.
 
     pred_sig/ori_sig: [bs, F, 2] or complex [bs, F].
     Returns (LossBundle, ori_time, pred_time) like the reference's
     10-tuple (criterion.py:124-126).
+
+    ``weights``: optional dict of RUNTIME weight overrides (jnp scalars,
+    keyed by the CriterionConfig field name). The compiled program then
+    no longer bakes the weight values in, so HPO trials that vary only
+    loss weights reuse one program (TrainConfig.runtime_hparams).
+    Structural decisions (whether the DAS branch exists at all) still
+    come from ``cfg`` — a zero runtime weight on an active DAS branch is
+    a multiply-by-zero, not a recompile.
     """
+    w = lambda name: (
+        weights[name] if weights is not None and name in weights
+        else getattr(cfg, name)
+    )
     pred_c = to_complex(pred_sig)
     ori_c = to_complex(ori_sig)
     l1 = lambda a, b: jnp.mean(jnp.abs(a - b))
@@ -228,19 +240,19 @@ def criterion(
 
     spec = (
         l1(jnp.real(pred_c), jnp.real(ori_c)) + l1(jnp.imag(pred_c), jnp.imag(ori_c))
-    ) * cfg.spec_loss_weight
-    amplitude = l1(jnp.abs(pred_c), jnp.abs(ori_c)) * cfg.amplitude_loss_weight
+    ) * w("spec_loss_weight")
+    amplitude = l1(jnp.abs(pred_c), jnp.abs(ori_c)) * w("amplitude_loss_weight")
     pa, oa = jnp.angle(pred_c), jnp.angle(ori_c)
     angle = (
         l1(jnp.cos(pa), jnp.cos(oa)) + l1(jnp.sin(pa), jnp.sin(oa))
-    ) * cfg.angle_loss_weight
-    time = l1(ori_time, pred_time) * cfg.time_loss_weight
+    ) * w("angle_loss_weight")
+    time = l1(ori_time, pred_time) * w("time_loss_weight")
     energy = l1(
         energy_decay_curve(ori_time), energy_decay_curve(pred_time)
-    ) * cfg.energy_loss_weight
+    ) * w("energy_loss_weight")
     multi = (
         multi_resolution_stft_loss(ori_time[:, None, :], pred_time[:, None, :])
-        * cfg.multistft_loss_weight
+        * w("multistft_loss_weight")
     )
 
     das_reg = jnp.zeros((), pred_time.dtype)
@@ -264,7 +276,7 @@ def criterion(
             target = jnp.argmax(power_ori, axis=-1)  # [G]
             picked = jnp.take_along_axis(power_pred, target[:, None], axis=-1)[:, 0]
             ce = jax.nn.logsumexp(power_pred, axis=-1) - picked
-            das_ce = jnp.mean(ce) * cfg.das_ce_loss_weight
+            das_ce = jnp.mean(ce) * w("das_ce_loss_weight")
         if cfg.das_reg_loss_weight > 0:
             angles = jnp.deg2rad(jnp.arange(0.0, 360.0, 1.0))
             wp = jax.nn.softmax(cfg.beta * power_pred, axis=-1)  # [G, K]
@@ -274,7 +286,7 @@ def criterion(
             das_reg = jnp.mean(
                 jnp.abs(jnp.sin(pred_ang) - jnp.sin(true_ang))
                 + jnp.abs(jnp.cos(pred_ang) - jnp.cos(true_ang))
-            ) * cfg.das_reg_loss_weight
+            ) * w("das_reg_loss_weight")
 
     return (
         LossBundle(spec, amplitude, angle, time, energy, multi, das_reg, das_ce),

@@ -109,6 +109,11 @@ class AVRRunner:
         self._step_fn, self._render_fn = make_train_step(
             self.fstatic, self.consts, cfg.render, cfg.train, self.crit, mesh_plan
         )
+        # runtime-hparam bundle (compile-aware HPO): None keeps the
+        # baked-constant program byte-identical to previous rounds'
+        from avr_tpu.train.state import make_hparams
+
+        self._hp = make_hparams(cfg.train) if cfg.train.runtime_hparams else None
         self._eval_render = jax.jit(self._render_fn)
         self._key = jax.random.PRNGKey(cfg.train.seed + 1)
 
@@ -203,7 +208,7 @@ class AVRRunner:
                     pending = []
                     self.state, bundles = self._step_fn(
                         self.state, self._device_batch(stacked), base_key,
-                        jnp.asarray(host_it + 1, jnp.int32),
+                        jnp.asarray(host_it + 1, jnp.int32), self._hp,
                     )
                     host_it += K
                     # log the group's last inner step
@@ -212,7 +217,7 @@ class AVRRunner:
                     host_it += 1
                     self.state, bundle = self._step_fn(
                         self.state, self._device_batch(batch), base_key,
-                        jnp.asarray(host_it, jnp.int32),
+                        jnp.asarray(host_it, jnp.int32), self._hp,
                     )
                 it_prev, it = it, int(self.state.step)
 

@@ -78,7 +78,61 @@ def make_schedule(tc: TrainConfig) -> optax.Schedule:
     )
 
 
+HP_WEIGHT_KEYS = (
+    "spec_loss_weight", "amplitude_loss_weight", "angle_loss_weight",
+    "time_loss_weight", "energy_loss_weight", "multistft_loss_weight",
+    "das_reg_loss_weight", "das_ce_loss_weight",
+)
+
+
+def make_hparams(tc: TrainConfig) -> dict:
+    """Runtime hyper-parameter bundle (TrainConfig.runtime_hparams).
+
+    All values the compiled step would otherwise BAKE IN as constants —
+    lr/eta_min/T_max (the cosine schedule), weight decay, and the loss
+    weights — as jnp scalars passed per call. Two configs differing only
+    in these produce byte-identical programs, so HPO trials hit the
+    persistent compile cache instead of paying a fresh remote compile
+    (reference analog: optuna_avr_runner.py:141-164 pays a fresh model
+    build per trial; VERDICT r3 item 7).
+    """
+    hp = {k: jnp.asarray(getattr(tc, k), jnp.float32) for k in HP_WEIGHT_KEYS}
+    hp["lr"] = jnp.asarray(tc.lr, jnp.float32)
+    hp["eta_min"] = jnp.asarray(tc.eta_min, jnp.float32)
+    hp["t_max"] = jnp.asarray(max(1, tc.T_max), jnp.float32)
+    hp["weight_decay"] = jnp.asarray(tc.weight_decay, jnp.float32)
+    return hp
+
+
+def _cosine_lr(hp: dict, step: jax.Array) -> jax.Array:
+    """The optax cosine_decay_schedule formula on runtime scalars."""
+    t = jnp.minimum(step.astype(jnp.float32), hp["t_max"]) / hp["t_max"]
+    cosf = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+    return hp["eta_min"] + (hp["lr"] - hp["eta_min"]) * cosf
+
+
+def _opt_core(learning_rate, weight_decay):
+    """Optimizer chain with injectable scalars (runtime_hparams path).
+
+    Same transform order as make_optimizer's static chain; the decayed
+    weights enter BEFORE Adam (L2-through-Adam, matching the reference's
+    torch.optim.Adam(weight_decay=...) semantics), and weight_decay=0 is
+    the numeric no-op of the static path's structural omission.
+    """
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        zero_nonfinite(),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    if getattr(tc, "runtime_hparams", False):
+        return optax.inject_hyperparams(_opt_core)(
+            learning_rate=tc.lr, weight_decay=tc.weight_decay
+        )
     schedule = make_schedule(tc)
     chain = [
         optax.clip_by_global_norm(1.0),
@@ -161,13 +215,15 @@ def make_train_step(
             ray_weights=ray_weights,
         )
 
-    def loss_fn(params, batch, dirs, ray_weights) -> Tuple[jax.Array, LossBundle]:
+    runtime_hp = bool(getattr(tc, "runtime_hparams", False))
+
+    def loss_fn(params, batch, dirs, ray_weights, hp) -> Tuple[jax.Array, LossBundle]:
         pred = render(params, batch, dirs, ray_weights)
-        bundle, _, _ = criterion(pred, batch["wave"], crit)
+        bundle, _, _ = criterion(pred, batch["wave"], crit, weights=hp)
         return bundle.total, bundle
 
     def train_step_core(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array,
-                        it: Optional[jax.Array] = None):
+                        it: Optional[jax.Array] = None, hp: Optional[dict] = None):
         # Fold the iteration counter into the key INSIDE jit — splitting
         # keys eagerly in the host loop costs ~100 ms/step of dispatch on
         # remote backends.
@@ -177,12 +233,23 @@ def make_train_step(
         dirs, ray_w = pad_rays(dirs)
         dirs = constrain(dirs, P("ray"))
         (_, bundle), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, dirs, ray_w
+            state.params, batch, dirs, ray_w, hp
         )
         # Reference skips the iteration when the energy loss goes NaN
         # (avr_runner.py:183-185); non-finite covers inf as well.
         skip = jnp.logical_not(jnp.isfinite(bundle.energy))
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        opt_in = state.opt_state
+        if runtime_hp:
+            # the inject_hyperparams state carries the scalars the static
+            # chain bakes in; set this step's cosine LR + decay from hp
+            opt_in = opt_in._replace(
+                hyperparams={
+                    **opt_in.hyperparams,
+                    "learning_rate": _cosine_lr(hp, state.step),
+                    "weight_decay": hp["weight_decay"],
+                }
+            )
+        updates, new_opt = tx.update(grads, opt_in, state.params)
         new_state = TrainState(
             optax.apply_updates(state.params, updates), new_opt, state.step + 1
         )
@@ -196,7 +263,8 @@ def make_train_step(
         return jax.jit(train_step_core, donate_argnums=(0,)), render
 
     def train_multi_step(state: TrainState, batches: Dict[str, jax.Array],
-                         key: jax.Array, it0: jax.Array):
+                         key: jax.Array, it0: jax.Array,
+                         hp: Optional[dict] = None):
         """K optimizer steps in one dispatch via lax.scan.
 
         batches: the per-step batch dict stacked on a leading [K] axis.
@@ -207,7 +275,7 @@ def make_train_step(
 
         def body(st, inp):
             k, batch = inp
-            return train_step_core(st, batch, key, it0 + k)
+            return train_step_core(st, batch, key, it0 + k, hp)
 
         return jax.lax.scan(
             body, state, (jnp.arange(K, dtype=jnp.int32), batches)

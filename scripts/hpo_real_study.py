@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--iters", type=int, default=1500,
                     help="per-trial budget before the batch-size scale rule")
     ap.add_argument("--variant", default="das",
-                    choices=["base", "ch", "ch_without_das", "ch_only_das", "das"])
+                    choices=["base", "ch", "ch_without_das", "ch_only_das", "das", "runtime"])
     ap.add_argument("--interp", default="simplex")
     args = ap.parse_args()
 

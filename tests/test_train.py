@@ -264,3 +264,95 @@ def test_steps_per_call_matches_single_step(tmp_path, dataset_dir):
         jax.tree_util.tree_leaves(r2.state.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_runtime_hparams_matches_baked(dataset_dir):
+    """One train step with runtime_hparams must reproduce the baked-
+    constant step EXACTLY (measured bit-equal on CPU): moving the cosine
+    LR, weight decay and loss weights to runtime scalars changes what
+    the program bakes in, never the math. (Multi-step runs drift at the
+    ~1-ulp level from different constant folding — chaotic training
+    amplifies that; the single-step check is the sharp one. The cosine
+    schedule itself is asserted exactly across steps.)"""
+    import copy
+
+    from avr_tpu.losses import CriterionConfig
+    from avr_tpu.models import field as field_lib
+    from avr_tpu.render.common import make_consts
+    from avr_tpu.train.state import _cosine_lr, make_hparams, make_schedule
+
+    cfg = tiny_cfg("/tmp/unused")
+    tc = cfg.train
+    tc.weight_decay = 1e-4
+    fst = field_lib.build_field(cfg.model, "Simu")
+    consts = make_consts(cfg.render, cfg.model.signal_output_dim)
+    crit = CriterionConfig.from_configs(tc, cfg.render)
+
+    sched = make_schedule(tc)
+    hp = make_hparams(tc)
+    for s in (0, 1, 7, 49, 80):
+        # algebraically identical formulas; 1-ulp assoc differences allowed
+        np.testing.assert_allclose(
+            float(sched(s)), float(_cosine_lr(hp, jnp.asarray(s))), rtol=1e-6
+        )
+
+    bs, F = tc.batch_size, cfg.model.signal_output_dim // 2 + 1
+    rng = np.random.default_rng(0)
+    batch = {
+        "wave": jnp.asarray(rng.normal(size=(bs, F, 2)) * 1e-2, jnp.float32),
+        "pos_rx": jnp.asarray(rng.uniform(0.5, 3.5, (bs, 3)), jnp.float32),
+        "pos_tx": jnp.asarray(rng.uniform(0.5, 3.5, (bs, 3)), jnp.float32),
+    }
+    key, it = jax.random.PRNGKey(1), jnp.asarray(3, jnp.int32)
+
+    step0, _ = make_train_step(fst, consts, cfg.render, tc, crit, None)
+    s0, b0 = step0(init_state(jax.random.PRNGKey(0), fst, tc), batch, key, it, None)
+
+    tc2 = copy.deepcopy(tc)
+    tc2.runtime_hparams = True
+    step1, _ = make_train_step(fst, consts, cfg.render, tc2, crit, None)
+    s1, b1 = step1(
+        init_state(jax.random.PRNGKey(0), fst, tc2), batch, key, it,
+        make_hparams(tc2),
+    )
+
+    assert float(b0.total) == float(b1.total)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s0.params), jax.tree_util.tree_leaves(s1.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_runtime_hparams_program_invariant(dataset_dir):
+    """Two configs differing ONLY in lr/eta_min/weight_decay/loss weights
+    must lower to the identical program under runtime_hparams — the
+    property compile-aware HPO (hpo variant='runtime') rests on."""
+    from avr_tpu.losses import CriterionConfig
+    from avr_tpu.models import field as field_lib
+    from avr_tpu.render.common import make_consts
+    from avr_tpu.train.state import make_hparams
+
+    def lowered_text(lr, wd, spec_w):
+        cfg = tiny_cfg("/tmp/unused")
+        tc = cfg.train
+        tc.runtime_hparams = True
+        tc.lr, tc.weight_decay, tc.spec_loss_weight = lr, wd, spec_w
+        fst = field_lib.build_field(cfg.model, "Simu")
+        consts = make_consts(cfg.render, cfg.model.signal_output_dim)
+        crit = CriterionConfig.from_configs(tc, cfg.render)
+        step, _ = make_train_step(fst, consts, cfg.render, tc, crit, None)
+        state = init_state(jax.random.PRNGKey(0), fst, tc)
+        bs, F = tc.batch_size, cfg.model.signal_output_dim // 2 + 1
+        batch = {
+            "wave": jnp.zeros((bs, F, 2), jnp.float32),
+            "pos_rx": jnp.zeros((bs, 3), jnp.float32),
+            "pos_tx": jnp.zeros((bs, 3), jnp.float32),
+        }
+        return step.lower(
+            state, batch, jax.random.PRNGKey(1),
+            jnp.asarray(0, jnp.int32), make_hparams(tc),
+        ).as_text()
+
+    t0 = lowered_text(5e-3, 0.0, 1.0)
+    t1 = lowered_text(1e-4, 1e-3, 77.0)
+    assert t0 == t1, "runtime-hparam programs differ across hparam values"
