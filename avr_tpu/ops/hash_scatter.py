@@ -67,9 +67,48 @@ def on_tpu() -> bool:
     """True when the default backend executes on TPU hardware.
 
     The axon remote tunnel registers an experimental 'axon' platform that
-    proxies a real TPU chip; treat it as TPU.
+    proxies a real TPU chip; treat it as TPU. AVR_TPU_FORCE_TPU=1
+    overrides for deviceless AOT lowering against a TPU topology
+    (scripts/aot_multichip.py traces on a CPU process but compiles for
+    v5e — the Pallas path must be selected at trace time there).
     """
+    if os.environ.get("AVR_TPU_FORCE_TPU") == "1":
+        return True
     return jax.default_backend() in ("tpu", "axon")
+
+
+# ----------------------------------------------------------------------
+# SPMD context: Mosaic kernels cannot be auto-partitioned by GSPMD
+# ("Please wrap the call in a shard_map" — surfaced the first time the
+# Pallas-bearing step was AOT-compiled for a real v5e:2x4 topology,
+# scripts/aot_multichip.py; the CPU-mesh tests use the XLA fallback and
+# a 1-device chip mesh needs no partitioning, so nothing caught it
+# earlier). make_train_step installs its mesh here while tracing; the
+# sorted-scatter then runs as a shard_map over the row stream — each
+# device sorts+scatters its local block into a full-size table gradient
+# and the blocks are psum-combined (the replicated-table analog of the
+# gradient all-reduce, riding ICI).
+# ----------------------------------------------------------------------
+import contextlib
+
+_SPMD_MESH = None
+
+
+@contextlib.contextmanager
+def spmd_mesh(mesh):
+    """Install the SPMD mesh for ops traced within (None = single-device)."""
+    global _SPMD_MESH
+    prev, _SPMD_MESH = _SPMD_MESH, mesh
+    try:
+        yield
+    finally:
+        _SPMD_MESH = prev
+
+
+def _spmd_ndev(mesh) -> int:
+    if mesh is None:
+        return 1
+    return int(np.prod(list(mesh.shape.values())))
 
 
 def scatter_add_rows(
@@ -120,6 +159,49 @@ def scatter_add_rows(
         payload = os.environ.get("AVR_TPU_SCATTER_PAYLOAD", "f32")
     tile_rows = int(os.environ.get("AVR_TPU_SCATTER_TS", tile_rows))
     chunk = int(os.environ.get("AVR_TPU_SCATTER_UC", chunk))
+
+    mesh = _SPMD_MESH
+    ndev = _spmd_ndev(mesh)
+    if ndev > 1:
+        # Multi-device SPMD: GSPMD cannot partition the Mosaic kernel —
+        # explicitly shard the row stream over ALL mesh axes, scatter
+        # locally, psum the table gradient. Scatter-add is permutation-
+        # invariant, so any block partition of the rows is correct; the
+        # partitioner reshards the (already data/ray-sharded) cotangent
+        # stream into contiguous blocks as needed.
+        from jax.sharding import PartitionSpec
+
+        idx2 = idx if idx.ndim == 2 else idx.reshape(1, -1)
+        upd2 = (
+            upd if upd.ndim == 3 else upd.reshape(1, -1, upd.shape[-1])
+        )
+        M = idx2.shape[-1]
+        if M % ndev:
+            # uneven stream: the HLO scatter partitions automatically
+            return scatter_add_rows(idx, upd, n_rows, impl="xla")
+        axes = tuple(mesh.axis_names)
+
+        def body(i_l, u_l):
+            local = _sorted_scatter(
+                i_l, u_l, n_rows,
+                tile_rows=tile_rows, chunk=chunk, precision=precision,
+                payload=payload, interpret=interpret,
+            )
+            return jax.lax.psum(local, axes)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(
+                PartitionSpec(None, axes),
+                PartitionSpec(None, axes, None),
+            ),
+            out_specs=PartitionSpec(),
+            # pallas_call's output avals carry no varying-mesh-axes
+            # annotation; the body's collective structure is trivially
+            # correct (local scatter + explicit psum over all axes)
+            check_vma=False,
+        )(idx2, upd2)
+
     return _sorted_scatter(
         idx, upd, n_rows,
         tile_rows=tile_rows, chunk=chunk, precision=precision,

@@ -258,9 +258,27 @@ def make_train_step(
         )
         return state_out, bundle
 
+    def _with_mesh_ctx(fn):
+        """Install the SPMD mesh for ops traced inside the step (the
+        Pallas sorted-scatter must be shard_map-wrapped on multi-device
+        meshes — hash_scatter.spmd_mesh)."""
+        if mesh_plan is None:
+            return fn
+
+        import functools
+
+        from avr_tpu.ops import hash_scatter
+
+        @functools.wraps(fn)
+        def wrapped(*a, **k):
+            with hash_scatter.spmd_mesh(mesh_plan.mesh):
+                return fn(*a, **k)
+
+        return wrapped
+
     K = max(1, int(getattr(tc, "steps_per_call", 1)))
     if K == 1:
-        return jax.jit(train_step_core, donate_argnums=(0,)), render
+        return jax.jit(_with_mesh_ctx(train_step_core), donate_argnums=(0,)), render
 
     def train_multi_step(state: TrainState, batches: Dict[str, jax.Array],
                          key: jax.Array, it0: jax.Array,
@@ -281,4 +299,4 @@ def make_train_step(
             body, state, (jnp.arange(K, dtype=jnp.int32), batches)
         )
 
-    return jax.jit(train_multi_step, donate_argnums=(0,)), render
+    return jax.jit(_with_mesh_ctx(train_multi_step), donate_argnums=(0,)), render

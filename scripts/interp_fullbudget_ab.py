@@ -42,9 +42,14 @@ from avr_tpu.train.runner import AVRRunner
 ROOT = os.path.join("results", "interp_fullbudget")
 FS = 16000
 SEQ = 800  # 50 ms IRs: enough reflections for DoA in a 6x5x3 room
+# NOTE: at SEQ=800 the C50 metric is NaN by construction (the late-energy
+# window beyond 50 ms is empty, reference/utils/metric.py:60-72). Use
+# --seq 1600 (100 ms) for C50-valid runs (VERDICT r3 item 4): datasets
+# land in data_s{seq}/ and runs in logs under a _T{seq} suffix.
 
 
-def make_cfg(logdir: str, name: str, interp: str, iters: int, seed: int) -> AVRConfig:
+def make_cfg(logdir: str, name: str, interp: str, iters: int, seed: int,
+             seq: int = SEQ) -> AVRConfig:
     """The demo synthetic-array config (configs/avr_synthetic_array_fast
     .yml) scaled so a step is ~tens of ms — SAME scale for both modes."""
     cfg = AVRConfig()
@@ -54,7 +59,7 @@ def make_cfg(logdir: str, name: str, interp: str, iters: int, seed: int) -> AVRC
     rc.near, rc.far = 0.0, 4.0
     rc.n_samples, rc.n_azi, rc.n_ele = 24, 16, 8
     rc.speed, rc.fs, rc.pathloss = 343.8, FS, 1.5
-    cfg.model.signal_output_dim = SEQ
+    cfg.model.signal_output_dim = seq
     ch = cfg.model.channel_embed
     ch.is_embed = True
     ch.connection_type = "add"
@@ -82,16 +87,17 @@ def make_cfg(logdir: str, name: str, interp: str, iters: int, seed: int) -> AVRC
     return cfg
 
 
-def ensure_dataset(data_dir: str) -> None:
+def ensure_dataset(data_dir: str, seq: int = SEQ) -> None:
     if os.path.exists(os.path.join(data_dir, "train_test_split.pkl")):
         return
-    room = synthetic.RoomSpec(size=(6.0, 5.0, 3.0), max_order=3, fs=FS, seq_len=SEQ)
+    room = synthetic.RoomSpec(size=(6.0, 5.0, 3.0), max_order=3, fs=FS, seq_len=seq)
     synthetic.write_real_env_dataset(data_dir, room, n_groups=16, seed=7)
-    print(f"dataset: 16 groups -> {data_dir}", flush=True)
+    print(f"dataset: 16 groups (T={seq}) -> {data_dir}", flush=True)
 
 
-def run_one(interp: str, seed: int, iters: int, data_dir: str) -> dict:
-    name = f"{interp.replace(':', '')}_s{seed}"
+def run_one(interp: str, seed: int, iters: int, data_dir: str,
+            seq: int = SEQ) -> dict:
+    name = f"{interp.replace(':', '')}_s{seed}" + (f"_T{seq}" if seq != SEQ else "")
     logdir = os.path.join(ROOT, "logs")
     result_path = os.path.join(logdir, name, "result.json")
     if os.path.exists(result_path):
@@ -100,7 +106,7 @@ def run_one(interp: str, seed: int, iters: int, data_dir: str) -> dict:
         print(f"[{name}] cached: {json.dumps(res['summary'])}", flush=True)
         return res
 
-    cfg = make_cfg(logdir, name, interp, iters, seed)
+    cfg = make_cfg(logdir, name, interp, iters, seed, seq=seq)
     runner = AVRRunner(cfg, data_dir)
     t0 = time.time()
     runner.train()
@@ -138,17 +144,21 @@ def main():
                     help="300-iter step-time probe per mode, then exit")
     ap.add_argument("--summary", default="ab_summary.json",
                     help="summary filename under results/interp_fullbudget/")
+    ap.add_argument("--seq", type=int, default=SEQ,
+                    help="IR length in samples (1600 = C50-valid 100 ms)")
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
     modes = args.modes.split(",")
 
     os.makedirs(os.path.join(ROOT, "logs"), exist_ok=True)
-    data_dir = os.path.join(ROOT, "data")
-    ensure_dataset(data_dir)
+    data_dir = os.path.join(
+        ROOT, "data" if args.seq == SEQ else f"data_s{args.seq}"
+    )
+    ensure_dataset(data_dir, seq=args.seq)
 
     if args.calibrate:
         for interp in modes:
-            res = run_one(interp, 99, 300, data_dir)
+            res = run_one(interp, 99, 300, data_dir, seq=args.seq)
             print(f"CALIBRATE {interp}: {res['ms_per_step']:.1f} ms/step "
                   "(incl. compile)", flush=True)
         return
@@ -156,7 +166,9 @@ def main():
     results = []
     for seed in seeds:
         for interp in modes:
-            results.append(run_one(interp, seed, args.iters, data_dir))
+            results.append(
+                run_one(interp, seed, args.iters, data_dir, seq=args.seq)
+            )
 
     # ---- report --------------------------------------------------------
     keys = sorted(results[0]["summary"])
