@@ -93,6 +93,9 @@ class TrainConfig:
     # ("dots", "dots_nb") — see render/fused.py:_remat_wrap
     remat: Any = True
     steps_per_call: int = 1  # optimizer steps folded into one dispatch (scan)
+    # per-sample metric_cal cap during validation (host-side numpy);
+    # 0 = evaluate every rendered sample
+    val_metric_cap: int = 256
     # pass lr/eta_min/T_max/weight_decay/loss weights as RUNTIME scalars
     # instead of baking them into the compiled program — configs that
     # differ only in these share one program (compile-aware HPO,

@@ -362,10 +362,19 @@ class AVRRunner:
             "das_reg_loss": float(bundle.das_reg),
             "das_ce_loss": float(bundle.das_ce),
         }
+        # metric_cal cap (host-side numpy, ~10 ms/sample): configurable —
+        # large test sets would otherwise get metrics over a silent
+        # 256-sample prefix (VERDICT r3 weak #5). 0 = uncapped.
+        cap = int(getattr(self.cfg.train, "val_metric_cap", 256)) or len(pred_t)
+        if cap < len(pred_t):
+            self.logger.info(
+                "validate: metric_cal over first %d of %d samples "
+                "(train.val_metric_cap; 0 = all)", cap, len(pred_t),
+            )
         per_sample = [
             metric_cal(np.asarray(ori_t[i : i + 1]), np.asarray(pred_t[i : i + 1]),
                        fs=self.cfg.render.fs)
-            for i in range(min(len(pred_t), 256))
+            for i in range(min(len(pred_t), cap))
         ]
         names = dict(zip(METRIC_KEYS, ("angle_error", "amp_error", "env_error",
                                        "t60_error", "c50_error", "edt_error", "multi_stft")))
