@@ -89,15 +89,27 @@ def _parse_interp(spec, n_levels: int) -> str:
     """Canonicalize an EncodingConfig.interpolation spec.
 
     Accepted: "trilinear" (default, tcnn "Linear" parity), "simplex",
-    "hybrid[:N]" (trilinear on the N FINEST levels, simplex below;
-    N defaults to half the levels rounded up), and "levels:<s|t ×L>"
-    (explicit per-level modes, coarsest first). Degenerate mixes
-    collapse to the pure mode; unrecognized values fall back to
-    trilinear (matching tcnn's behaviour for e.g. "Smoothstep").
+    "hybridc[:N]" (trilinear on the N COARSEST levels, simplex above —
+    the quality-preserving split: the round-4 level attribution localized
+    simplex's phase/DoA loss to the coarse levels, results/
+    interp_fullbudget/attribution_s0.json), "hybrid[:N]" (trilinear on
+    the N FINEST levels — measured NOT to preserve phase quality; kept
+    for attribution work), and "levels:<s|t ×L>" (explicit per-level
+    modes, coarsest first). N defaults to half the levels rounded up.
+    Degenerate mixes collapse to the pure mode; unrecognized values fall
+    back to trilinear (matching tcnn's behaviour for e.g. "Smoothstep").
     """
     s = str(spec or "").lower()
     if s == "simplex":
         return "simplex"
+    if s.startswith("hybridc"):
+        n_tri = int(s.split(":")[1]) if ":" in s else (n_levels + 1) // 2
+        n_tri = max(0, min(n_levels, n_tri))
+        if n_tri == 0:
+            return "simplex"
+        if n_tri == n_levels:
+            return "trilinear"
+        return "levels:" + "t" * n_tri + "s" * (n_levels - n_tri)
     if s.startswith("hybrid"):
         n_tri = int(s.split(":")[1]) if ":" in s else (n_levels + 1) // 2
         n_tri = max(0, min(n_levels, n_tri))

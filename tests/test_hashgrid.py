@@ -523,3 +523,15 @@ def test_hybrid_is_continuous():
     out = np.asarray(hashgrid.encode(table, static, jnp.asarray(xs)))
     step = np.abs(np.diff(out, axis=0)).max()
     assert step < 5e-3, f"jump {step} across cell boundary"
+
+
+def test_parse_hybridc_coarse_trilinear():
+    """hybridc:N = trilinear on the N COARSEST levels (the attribution
+    winner: phase/DoA quality localizes to the coarse levels)."""
+    assert hashgrid.build_static(_hybrid_cfg("hybridc:4")).interp == "levels:ttttss"
+    assert hashgrid.build_static(_hybrid_cfg("hybridc:0")).interp == "simplex"
+    assert hashgrid.build_static(_hybrid_cfg("hybridc:6")).interp == "trilinear"
+    st = hashgrid.build_static(_hybrid_cfg("hybridc:2"))
+    groups = hashgrid._hybrid_groups(st)
+    assert [g.interp for g in groups] == ["trilinear", "simplex"]
+    assert groups[0].n_levels == 2 and groups[1].n_levels == 4
