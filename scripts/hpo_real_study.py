@@ -57,8 +57,13 @@ def main():
     # n_startup=4 so the TPE sampler actually engages within a small
     # real-hardware study (create_study's default 10 would leave an
     # 8-trial study purely random)
+    # budget-tagged name so a 5k-iter study never resumes a 1500-iter
+    # one (r3's das study keeps its original untagged name)
+    study_name = f"avr_tpu_{args.variant}" + (
+        f"_{args.iters}" if args.iters != 1500 else ""
+    )
     study = Study(
-        f"avr_tpu_{args.variant}",
+        study_name,
         storage=f"sqlite:///{os.path.join(ROOT, 'study.db')}",
         n_startup=4,
     )
@@ -75,10 +80,15 @@ def main():
         )
     wall = time.time() - t0
 
-    with open(os.path.join(ROOT, "study_trials.jsonl"), "w") as f:
+    # per-variant artifact names so re-runs never clobber earlier
+    # studies' committed outputs (r3: the das study)
+    tag = "" if args.variant == "das" else f"_{args.variant}" + (
+        f"_{args.iters}" if args.iters != 1500 else ""
+    )
+    with open(os.path.join(ROOT, f"study_trials{tag}.jsonl"), "w") as f:
         for t in study.trials:
             f.write(json.dumps(t) + "\n")
-    rep = study_report(study, os.path.join(ROOT, "study_report.png"))
+    rep = study_report(study, os.path.join(ROOT, f"study_report{tag}.png"))
     print(json.dumps({
         "n_trials": rep["n_trials"],
         "best_value": rep["best_value"],
