@@ -164,8 +164,15 @@ class AVRRunner:
         if step is None:
             self.logger.info("no checkpoint to resume from")
             return False
+        # Concrete CURRENT-backend shardings on the abstract tree:
+        # without them orbax falls back to the checkpoint's recorded
+        # shardings, which reference the SAVING platform's devices — a
+        # chip-trained checkpoint then fails to restore in a CPU
+        # process (ValueError: sharding ... Got None). Cross-platform
+        # restore (train on TPU, eval/DoA on CPU) is a supported flow.
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), jax.device_get(self.state)
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            self.state,
         )
         self.state = self._ckpt_mgr.restore(
             step, args=ocp.args.StandardRestore(abstract)
