@@ -25,6 +25,9 @@ for pol in dots dots_nb; do
   AVR_TPU_REMAT=$pol timeout 3600 python scripts/bench_meshrir.py trilinear
 done
 
+echo "=== [D2] scatter payload pf32 A/B on the DEFAULT klm backward (ADVICE r3)"
+AVR_TPU_SCATTER_PAYLOAD=f32 timeout 3600 python scripts/bench_meshrir.py trilinear
+
 echo "=== [E] HPO compile-aware study: runtime variant, r3-equal budget"
 timeout 5400 python scripts/hpo_real_study.py 8 --iters 1500 --variant runtime --interp simplex
 
