@@ -385,3 +385,32 @@ def test_interp_gate_decision_on_committed_ab(capsys):
     assert gate_lines, "gate verdict line missing"
     flip_set = gate_lines[0].split("worse outside seed noise on:")[-1]
     assert "Angle" in flip_set, f"Angle not in the gate's flip set: {gate_lines[0]}"
+
+
+def test_interp_gate_hybridc_candidate_passes(capsys):
+    """The round-4 headline: coarse-trilinear hybridc (levels:tttt+s*8 on
+    the 12-level A/B config) passes the quality gate against trilinear
+    over 3 committed seeds — within seed noise on every metric, DoA
+    objective better on average. Guards the shipped hybridc headline the
+    same way the previous test guards the simplex->trilinear flip."""
+    import runpy
+    import sys as _sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    argv, _sys.argv = _sys.argv, [
+        "interp_gate.py", "--logs", "--candidate", "levels:ttttssssssss",
+    ]
+    cwd = os.getcwd()
+    try:
+        os.chdir(root)
+        with pytest.raises(SystemExit) as ei:
+            runpy.run_path(
+                os.path.join(root, "scripts", "interp_gate.py"),
+                run_name="__main__",
+            )
+    finally:
+        os.chdir(cwd)
+        _sys.argv = argv
+    assert ei.value.code == 0, "hybridc candidate no longer passes the gate"
+    out = capsys.readouterr().out
+    assert "headline stands" in out
