@@ -4,7 +4,10 @@ Measures the flagship RAF-Furnished workload (650 rays × 32 samples ×
 1600-dim IR @ 16 kHz, batch 4 — reference/config_files/
 avr_raf_furnished.yml:16-44): one full value_and_grad of the spectral
 loss through the fused renderer per step, on whatever device JAX selects
-(the real TPU chip under the driver).
+(the real TPU chip under the driver). Headline mode = hybridc:7
+(quality-gated coarse-trilinear/fine-simplex mix, round 4 — see
+__graft_entry__._flagship_config); AVR_TPU_BENCH_INTERP=trilinear runs
+the bit-parity tcnn mode.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
 two secondary keys (VERDICT r3 item 8): ``meshrir_ms_per_step`` /
