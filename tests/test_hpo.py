@@ -172,3 +172,42 @@ def test_doa_objective_from_logdir(tmp_path):
     assert os.path.exists(os.path.join(logdir, "doa_results", "val_iter000010.pkl"))
     err2 = hpo_runner.doa_objective_from_logdir(logdir, 16000)
     assert err2 == err
+
+
+def test_variant_runtime_shape_invariant():
+    """variant='runtime' samples ONLY program-shape-invariant params:
+    structure (batch, rays, samples, widths, embed layout) stays at the
+    base config's values, runtime_hparams is switched on, and only the
+    structurally-active DAS terms are sampled."""
+    cfg = AVRConfig()
+    cfg.train.batch_size = 8
+    cfg.train.das_reg_loss_weight = 10.0  # structurally ON
+    cfg.train.das_ce_loss_weight = 0.0  # structurally OFF
+    base_samples = cfg.render.n_samples
+    base_azi = cfg.render.n_azi
+    base_width = cfg.model.signal_network.n_neurons
+
+    sampled = []
+
+    class FakeTrial:
+        number = 2
+        def suggest_int(self, name, lo, hi):
+            sampled.append(name)
+            return lo
+        def suggest_float(self, name, lo, hi, log=False):
+            sampled.append(name)
+            return max(lo, 0.5)
+        def suggest_categorical(self, name, choices):
+            sampled.append(name)
+            return choices[0]
+
+    out = hpo_runner.update_config(cfg, 0, 2, FakeTrial(), "runtime")
+    assert out.train.runtime_hparams is True
+    assert out.train.batch_size == 8  # structure untouched
+    assert out.render.n_samples == base_samples
+    assert out.render.n_azi == base_azi
+    assert out.model.signal_network.n_neurons == base_width
+    assert "das_reg_loss_weight" in sampled  # active branch: value sampled
+    assert "das_ce_loss_weight" not in sampled  # inactive: never sampled
+    assert "batch_size" not in sampled and "n_samples" not in sampled
+    assert out.train.total_iterations == cfg.train.total_iterations
