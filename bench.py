@@ -110,6 +110,14 @@ def _bench_meshrir(steps: int = 3) -> dict:
 
     with open("/root/reference/config_files/avr_meshrir.yml") as f:
         cfg = AVRConfig.from_dict(yaml.safe_load(f))
+    # headline mode (quality-gated hybridc mix); AVR_TPU_BENCH_INTERP
+    # overrides (e.g. trilinear for the tcnn-parity measurement —
+    # scripts/bench_meshrir.py is the standalone per-mode harness)
+    interp = os.environ.get("AVR_TPU_BENCH_INTERP", "hybridc:7")
+    for enc in (cfg.model.pos_encoding_sigma, cfg.model.dir_encoding_sig,
+                cfg.model.tx_encoding_sig):
+        if enc is not None:
+            enc.interpolation = interp
     fst = field_lib.build_field(cfg.model, cfg.path.dataset_type)
     consts = make_consts(cfg.render, cfg.model.signal_output_dim)
     params = field_lib.init(jax.random.PRNGKey(0), fst)
