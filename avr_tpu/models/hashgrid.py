@@ -154,8 +154,22 @@ def _slice_static(
 
 
 def _hybrid_groups(static: HashGridStatic):
-    """Contiguous same-mode level groups of a mixed static (else None)."""
+    """Contiguous same-mode level groups of a mixed static (else None).
+
+    AVR_TPU_SPLIT_LEVELS=G additionally splits PURE-mode statics at
+    level G (perf experiment): the round-4 hybridc trace showed the
+    per-row latency of XLA's gather emitter DROPS when the single
+    monolithic all-level gather fusion is split in two (10.3 → ~6.3
+    ns/row on the MeshRIR stream) — this knob measures that effect in
+    isolation on an unmixed mode.
+    """
     if not static.interp.startswith("levels:"):
+        g = int(os.environ.get("AVR_TPU_SPLIT_LEVELS", "0"))
+        if 0 < g < static.n_levels:
+            return [
+                _slice_static(static, 0, g, static.interp),
+                _slice_static(static, g, static.n_levels, static.interp),
+            ]
         return None
     modes = static.interp.split(":", 1)[1]
     groups, lo = [], 0
