@@ -153,24 +153,53 @@ def _slice_static(
     )
 
 
-def _hybrid_groups(static: HashGridStatic):
-    """Contiguous same-mode level groups of a mixed static (else None).
+def _split_max_levels() -> int:
+    """Max levels per encode group (AVR_TPU_SPLIT_LEVELS).
 
-    AVR_TPU_SPLIT_LEVELS=G additionally splits PURE-mode statics at
-    level G (perf experiment): the round-4 hybridc trace showed the
-    per-row latency of XLA's gather emitter DROPS when the single
-    monolithic all-level gather fusion is split in two (10.3 → ~6.3
-    ns/row on the MeshRIR stream) — this knob measures that effect in
-    isolation on an unmixed mode.
+    The round-4 hybridc trace showed the per-row latency of XLA's TPU
+    gather emitter DROPS when the monolithic all-level gather fusion is
+    split (10.3 → ~6.3 ns/row on the MeshRIR stream); measured directly
+    on pure trilinear: MeshRIR 2,131 → 1,463 ms/step (−31%), flagship
+    15.4k → 16.1k rays/s — the r3 "structural floor" was a property of
+    the MONOLITHIC fusion, not the hardware. "auto" (default) = groups
+    of at most 10 levels on TPU (the measured sweet spot at both
+    20-level workloads; 0 on CPU where the emitter differs); an integer
+    sets the max group size explicitly, 0 disables splitting.
     """
+    spec = os.environ.get("AVR_TPU_SPLIT_LEVELS", "auto")
+    if spec == "auto":
+        return 10 if hash_scatter.on_tpu() else 0
+    return int(spec)
+
+
+def _subsplit(groups):
+    """Recursively halve groups larger than the split cap."""
+    cap = _split_max_levels()
+    if cap <= 0:
+        return groups
+    out = []
+    for g in groups:
+        stack = [g]
+        while stack:
+            s = stack.pop(0)
+            if s.n_levels > cap:
+                h = s.n_levels // 2
+                stack = [
+                    _slice_static(s, 0, h, s.interp),
+                    _slice_static(s, h, s.n_levels, s.interp),
+                ] + stack
+            else:
+                out.append(s)
+    return out
+
+
+def _hybrid_groups(static: HashGridStatic):
+    """Contiguous same-mode level groups of a mixed static, further
+    subdivided to the AVR_TPU_SPLIT_LEVELS cap (None = no grouping
+    needed — pure mode below the cap)."""
     if not static.interp.startswith("levels:"):
-        g = int(os.environ.get("AVR_TPU_SPLIT_LEVELS", "0"))
-        if 0 < g < static.n_levels:
-            return [
-                _slice_static(static, 0, g, static.interp),
-                _slice_static(static, g, static.n_levels, static.interp),
-            ]
-        return None
+        groups = _subsplit([static])
+        return groups if len(groups) > 1 else None
     modes = static.interp.split(":", 1)[1]
     groups, lo = [], 0
     for i in range(1, static.n_levels + 1):
@@ -178,7 +207,7 @@ def _hybrid_groups(static: HashGridStatic):
             mode = "simplex" if modes[lo] == "s" else "trilinear"
             groups.append(_slice_static(static, lo, i, mode))
             lo = i
-    return groups
+    return _subsplit(groups)
 
 
 def build_static(cfg: EncodingConfig) -> HashGridStatic:
