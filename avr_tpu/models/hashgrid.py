@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import os
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -153,7 +153,7 @@ def _slice_static(
     )
 
 
-def _split_max_levels() -> int:
+def _split_max_levels(width: Optional[int], pure: bool, n_levels: int) -> int:
     """Max levels per encode group (AVR_TPU_SPLIT_LEVELS).
 
     The round-4 hybridc trace showed the per-row latency of XLA's TPU
@@ -161,20 +161,28 @@ def _split_max_levels() -> int:
     split (10.3 → ~6.3 ns/row on the MeshRIR stream); measured directly
     on pure trilinear: MeshRIR 2,131 → 1,463 ms/step (−31%), flagship
     15.4k → 16.1k rays/s — the r3 "structural floor" was a property of
-    the MONOLITHIC fusion, not the hardware. "auto" (default) = groups
-    of at most 10 levels on TPU (the measured sweet spot at both
-    20-level workloads; 0 on CPU where the emitter differs); an integer
-    sets the max group size explicitly, 0 disables splitting.
+    the MONOLITHIC fusion, not the hardware.
+
+    "auto" (default): on TPU, narrow tables (width ≤ 2 — the MeshRIR
+    regime) cap groups at 10 levels (hybridc:7 subsplit 1,013 → 934 ms
+    measured); wide pair-fused tables (width 4, the flagship) split
+    only a PURE monolithic static in half (trilinear +4.9%) — further
+    subsplitting its hybrid groups measured a 2.3% LOSS (26.1k →
+    25.5k). Integer spec = unconditional cap; 0 disables.
     """
     spec = os.environ.get("AVR_TPU_SPLIT_LEVELS", "auto")
-    if spec == "auto":
-        return 10 if hash_scatter.on_tpu() else 0
-    return int(spec)
+    if spec != "auto":
+        return int(spec)
+    if not hash_scatter.on_tpu():
+        return 0
+    if width is not None and width > 2:
+        return (n_levels + 1) // 2 if pure else 0
+    return 10
 
 
-def _subsplit(groups):
+def _subsplit(groups, width: Optional[int], pure: bool, n_levels: int):
     """Recursively halve groups larger than the split cap."""
-    cap = _split_max_levels()
+    cap = _split_max_levels(width, pure, n_levels)
     if cap <= 0:
         return groups
     out = []
@@ -193,21 +201,24 @@ def _subsplit(groups):
     return out
 
 
-def _hybrid_groups(static: HashGridStatic):
+def _hybrid_groups(static: HashGridStatic, width: Optional[int] = None):
     """Contiguous same-mode level groups of a mixed static, further
     subdivided to the AVR_TPU_SPLIT_LEVELS cap (None = no grouping
-    needed — pure mode below the cap)."""
+    needed — pure mode below the cap). ``width`` = table feature width
+    (pair-fused tables are wider than static.n_features — the auto
+    split rule keys on it)."""
+    L = static.n_levels
     if not static.interp.startswith("levels:"):
-        groups = _subsplit([static])
+        groups = _subsplit([static], width, True, L)
         return groups if len(groups) > 1 else None
     modes = static.interp.split(":", 1)[1]
     groups, lo = [], 0
-    for i in range(1, static.n_levels + 1):
-        if i == static.n_levels or modes[i] != modes[lo]:
+    for i in range(1, L + 1):
+        if i == L or modes[i] != modes[lo]:
             mode = "simplex" if modes[lo] == "s" else "trilinear"
             groups.append(_slice_static(static, lo, i, mode))
             lo = i
-    return _subsplit(groups)
+    return _subsplit(groups, width, False, L)
 
 
 def build_static(cfg: EncodingConfig) -> HashGridStatic:
@@ -841,7 +852,7 @@ def encode(
     ~2.4x faster than 32-byte rows, measured), and the consumers are bf16
     matmuls anyway; interpolation still accumulates in fp32.
     """
-    groups = _hybrid_groups(static)
+    groups = _hybrid_groups(static, table.shape[-1])
     if groups is not None:
         # mixed interpolation: encode each contiguous same-mode level
         # group at its own K and concatenate level-major — the flattened
@@ -904,7 +915,7 @@ def encode_pair_fused(
     Fh = static.n_features
     lead = x.shape[:-1]
 
-    groups = _hybrid_groups(static)
+    groups = _hybrid_groups(static, fused.shape[-1])
     if groups is not None:
         outs = [encode_pair_fused(fused, g, x, compute_dtype) for g in groups]
         return (
