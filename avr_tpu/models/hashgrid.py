@@ -153,7 +153,9 @@ def _slice_static(
     )
 
 
-def _split_max_levels(width: Optional[int], pure: bool, n_levels: int) -> int:
+def _split_max_levels(
+    width: Optional[int], pure: bool, n_levels: int, n_points: Optional[int]
+) -> int:
     """Max levels per encode group (AVR_TPU_SPLIT_LEVELS).
 
     The round-4 hybridc trace showed the per-row latency of XLA's TPU
@@ -163,26 +165,33 @@ def _split_max_levels(width: Optional[int], pure: bool, n_levels: int) -> int:
     15.4k → 16.1k rays/s — the r3 "structural floor" was a property of
     the MONOLITHIC fusion, not the hardware.
 
-    "auto" (default): on TPU, narrow tables (width ≤ 2 — the MeshRIR
-    regime) cap groups at 10 levels (hybridc:7 subsplit 1,013 → 934 ms
-    measured); wide pair-fused tables (width 4, the flagship) split
-    only a PURE monolithic static in half (trilinear +4.9%) — further
-    subsplitting its hybrid groups measured a 2.3% LOSS (26.1k →
-    25.5k). Integer spec = unconditional cap; 0 disables.
+    "auto" (default, TPU only): split only LARGE point streams
+    (n_points ≥ 1e5 — the per-(point,level) row streams that dominate
+    the step): narrow (width ≤ 2) tables cap groups at 10 levels
+    (MeshRIR hybridc subsplit 1,013 → 934 ms measured); wide pair-fused
+    tables (width 4) split a PURE monolithic static in half (flagship
+    trilinear +4.9%) but never their hybrid groups (measured −2.3%).
+    Small per-ray/per-batch encodings are NEVER auto-split: splitting
+    the flagship's tiny F=2 view encodings while leaving its pairs
+    whole produced a 3× pathological program (26.1k → 8.9k rays/s,
+    reproduced twice — a fusion-boundary cliff, not noise). Integer
+    spec = unconditional cap; 0 disables.
     """
     spec = os.environ.get("AVR_TPU_SPLIT_LEVELS", "auto")
     if spec != "auto":
         return int(spec)
     if not hash_scatter.on_tpu():
         return 0
+    if n_points is not None and n_points < 100_000:
+        return 0
     if width is not None and width > 2:
         return (n_levels + 1) // 2 if pure else 0
     return 10
 
 
-def _subsplit(groups, width: Optional[int], pure: bool, n_levels: int):
+def _subsplit(groups, width, pure, n_levels, n_points):
     """Recursively halve groups larger than the split cap."""
-    cap = _split_max_levels(width, pure, n_levels)
+    cap = _split_max_levels(width, pure, n_levels, n_points)
     if cap <= 0:
         return groups
     out = []
@@ -201,15 +210,19 @@ def _subsplit(groups, width: Optional[int], pure: bool, n_levels: int):
     return out
 
 
-def _hybrid_groups(static: HashGridStatic, width: Optional[int] = None):
+def _hybrid_groups(
+    static: HashGridStatic,
+    width: Optional[int] = None,
+    n_points: Optional[int] = None,
+):
     """Contiguous same-mode level groups of a mixed static, further
     subdivided to the AVR_TPU_SPLIT_LEVELS cap (None = no grouping
     needed — pure mode below the cap). ``width`` = table feature width
-    (pair-fused tables are wider than static.n_features — the auto
-    split rule keys on it)."""
+    (pair-fused tables are wider than static.n_features), ``n_points``
+    = encoded point count — the auto split rule keys on both."""
     L = static.n_levels
     if not static.interp.startswith("levels:"):
-        groups = _subsplit([static], width, True, L)
+        groups = _subsplit([static], width, True, L, n_points)
         return groups if len(groups) > 1 else None
     modes = static.interp.split(":", 1)[1]
     groups, lo = [], 0
@@ -218,7 +231,7 @@ def _hybrid_groups(static: HashGridStatic, width: Optional[int] = None):
             mode = "simplex" if modes[lo] == "s" else "trilinear"
             groups.append(_slice_static(static, lo, i, mode))
             lo = i
-    return _subsplit(groups, width, False, L)
+    return _subsplit(groups, width, False, L, n_points)
 
 
 def build_static(cfg: EncodingConfig) -> HashGridStatic:
@@ -852,7 +865,8 @@ def encode(
     ~2.4x faster than 32-byte rows, measured), and the consumers are bf16
     matmuls anyway; interpolation still accumulates in fp32.
     """
-    groups = _hybrid_groups(static, table.shape[-1])
+    n_pts = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    groups = _hybrid_groups(static, table.shape[-1], n_pts)
     if groups is not None:
         # mixed interpolation: encode each contiguous same-mode level
         # group at its own K and concatenate level-major — the flattened
@@ -915,7 +929,8 @@ def encode_pair_fused(
     Fh = static.n_features
     lead = x.shape[:-1]
 
-    groups = _hybrid_groups(static, fused.shape[-1])
+    n_pts = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    groups = _hybrid_groups(static, fused.shape[-1], n_pts)
     if groups is not None:
         outs = [encode_pair_fused(fused, g, x, compute_dtype) for g in groups]
         return (
