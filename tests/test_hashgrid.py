@@ -535,3 +535,48 @@ def test_parse_hybridc_coarse_trilinear():
     groups = hashgrid._hybrid_groups(st)
     assert [g.interp for g in groups] == ["trilinear", "simplex"]
     assert groups[0].n_levels == 2 and groups[1].n_levels == 4
+
+
+def test_split_levels_cap_parity(rng, monkeypatch):
+    """AVR_TPU_SPLIT_LEVELS (gather-fusion splitting, r4): capped group
+    encoding must reproduce the monolithic outputs and gradients exactly
+    — the knob changes program structure, never math. Covers pure and
+    hybrid statics and the recursive halving."""
+    cfg = EncodingConfig(
+        n_levels=9, n_features_per_level=2, log2_hashmap_size=7,
+        base_resolution=3, per_level_scale=1.5, interpolation="hybridc:4",
+    )
+    for interp in ("trilinear", "hybridc:4"):
+        cfg.interpolation = interp
+        static = hashgrid.build_static(cfg)
+        table = hashgrid.init(jax.random.PRNGKey(0), static)
+        x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+
+        def run(cap):
+            monkeypatch.setenv("AVR_TPU_SPLIT_LEVELS", cap)
+            out = np.asarray(hashgrid.encode(table, static, x))
+            g = jax.grad(
+                lambda t: jnp.sum(jnp.sin(hashgrid.encode(t, static, x)))
+            )(table)
+            return out, np.asarray(g)
+
+        o0, g0 = run("0")
+        o2, g2 = run("2")  # recursive halving engages (groups of <=2)
+        np.testing.assert_allclose(o0, o2, atol=1e-6)
+        np.testing.assert_allclose(g0, g2, atol=1e-5)
+
+
+def test_split_auto_rules():
+    """The auto split rule's measured boundaries: no split on CPU, no
+    split for small streams, cap 10 for large narrow streams, halve for
+    large pair-fused pure statics, none for their hybrid groups."""
+    f = hashgrid._split_max_levels
+    # CPU (default backend in tests) → always 0
+    assert f(2, True, 20, 1_000_000) == 0
+    import unittest.mock as mock
+
+    with mock.patch.object(hashgrid.hash_scatter, "on_tpu", lambda: True):
+        assert f(2, True, 20, 50) == 0            # small stream: never
+        assert f(2, True, 20, 1_000_000) == 10    # narrow large: cap 10
+        assert f(4, True, 20, 1_000_000) == 10    # wide pure: halve
+        assert f(4, False, 20, 1_000_000) == 0    # wide hybrid: never
