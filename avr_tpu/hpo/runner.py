@@ -52,7 +52,12 @@ def update_config(
         t = cfg.train
         t.runtime_hparams = True
         t.lr = trial.suggest_float("lr", 1e-6, 1e-4, log=True)
-        t.eta_min = trial.suggest_float("eta_min", t.lr * 1e-2, t.lr * 5e-1, log=True)
+        # eta_min as a FIXED-RANGE ratio of lr: per-trial-varying bounds
+        # degrade TPE's per-parameter density models and make
+        # cross-trial eta_min values scale-confounded (advisor r4).
+        t.eta_min = t.lr * trial.suggest_float(
+            "eta_min_ratio", 1e-2, 5e-1, log=True
+        )
         t.weight_decay = trial.suggest_float("weight_decay", 0, 1e-3)
         t.spec_loss_weight = trial.suggest_float("spec_loss_weight", 0, 100)
         t.angle_loss_weight = trial.suggest_float("angle_loss_weight", 0, 100)
@@ -72,7 +77,12 @@ def update_config(
         t = cfg.train
         batch_size = 2 ** trial.suggest_int("batch_size", 0, 3)
         t.lr = trial.suggest_float("lr", 1e-6, 1e-4, log=True)
-        t.eta_min = trial.suggest_float("eta_min", t.lr * 1e-2, t.lr * 5e-1, log=True)
+        # eta_min as a FIXED-RANGE ratio of lr: per-trial-varying bounds
+        # degrade TPE's per-parameter density models and make
+        # cross-trial eta_min values scale-confounded (advisor r4).
+        t.eta_min = t.lr * trial.suggest_float(
+            "eta_min_ratio", 1e-2, 5e-1, log=True
+        )
         cfg.render.n_samples = trial.suggest_int("n_samples", 40, 80)
         cfg.render.n_azi = trial.suggest_int("n_azi", 48, 80)
         t.weight_decay = trial.suggest_float("weight_decay", 0, 1e-3)

@@ -145,30 +145,25 @@ def scatter_add_rows(
         impl = os.environ.get("AVR_TPU_SCATTER") or (
             "sorted" if (on_tpu() or interpret) else "xla"
         )
-    if impl == "xla":
-        if os.environ.get("AVR_TPU_SMALL_SCATTER", "unique") == "unique" and on_tpu():
-            return _xla_scatter_unique(
-                idx.reshape(-1), upd.reshape(-1, upd.shape[-1]), n_rows
-            )
-        return (
-            jnp.zeros((n_rows, upd.shape[-1]), upd.dtype)
-            .at[idx.reshape(-1)]
-            .add(upd.reshape(-1, upd.shape[-1]))
-        )
-    if payload is None:
-        payload = os.environ.get("AVR_TPU_SCATTER_PAYLOAD", "f32")
-    tile_rows = int(os.environ.get("AVR_TPU_SCATTER_TS", tile_rows))
-    chunk = int(os.environ.get("AVR_TPU_SCATTER_UC", chunk))
+    if impl != "xla":
+        if payload is None:
+            payload = os.environ.get("AVR_TPU_SCATTER_PAYLOAD", "f32")
+        tile_rows = int(os.environ.get("AVR_TPU_SCATTER_TS", tile_rows))
+        chunk = int(os.environ.get("AVR_TPU_SCATTER_UC", chunk))
 
     mesh = _SPMD_MESH
     ndev = _spmd_ndev(mesh)
-    if ndev > 1:
+    if ndev > 1 and os.environ.get("AVR_TPU_SPMD_SCATTER", "shard") == "shard":
         # Multi-device SPMD: GSPMD cannot partition the Mosaic kernel —
         # explicitly shard the row stream over ALL mesh axes, scatter
-        # locally, psum the table gradient. Scatter-add is permutation-
+        # locally, psum the table gradient (the replicated-table analog
+        # of NCCL-DDP's gradient all-reduce). Scatter-add is permutation-
         # invariant, so any block partition of the rows is correct; the
         # partitioner reshards the (already data/ray-sharded) cotangent
-        # stream into contiguous blocks as needed.
+        # stream into contiguous blocks as needed. The SAME wrap runs
+        # with the local XLA scatter body on CPU meshes (tests,
+        # scaling_sim, dryrun_multichip), so the collective structure is
+        # executed numerically everywhere, not just AOT-compiled.
         from jax.sharding import PartitionSpec
 
         idx2 = idx if idx.ndim == 2 else idx.reshape(1, -1)
@@ -177,13 +172,29 @@ def scatter_add_rows(
         )
         M = idx2.shape[-1]
         if M % ndev:
-            # uneven stream: the HLO scatter partitions automatically
-            return scatter_add_rows(idx, upd, n_rows, impl="xla")
+            # pad the stream to a device multiple with DUPLICATED valid
+            # indices and ZERO update rows — exact (scatter-adds of zero
+            # are no-ops) and, unlike an out-of-range pad, it preserves
+            # the 2-D form's per-group ascending-segment structure that
+            # the sorted kernel's batched sorts rely on. (Silently
+            # falling back to the row-serial HLO scatter here was an
+            # unannounced perf cliff on meshes whose device count does
+            # not divide the stream — advisor r4.)
+            pad = (-M) % ndev
+            idx2 = jnp.concatenate(
+                [idx2, jnp.broadcast_to(idx2[:, :1], (idx2.shape[0], pad))],
+                axis=-1,
+            )
+            upd2 = jnp.concatenate(
+                [upd2, jnp.zeros(upd2.shape[:1] + (pad,) + upd2.shape[2:],
+                                 upd2.dtype)],
+                axis=1,
+            )
         axes = tuple(mesh.axis_names)
 
         def body(i_l, u_l):
-            local = _sorted_scatter(
-                i_l, u_l, n_rows,
+            local = _local_scatter(
+                i_l, u_l, n_rows, impl=impl,
                 tile_rows=tile_rows, chunk=chunk, precision=precision,
                 payload=payload, interpret=interpret,
             )
@@ -202,6 +213,36 @@ def scatter_add_rows(
             check_vma=False,
         )(idx2, upd2)
 
+    return _local_scatter(
+        idx, upd, n_rows, impl=impl,
+        tile_rows=tile_rows, chunk=chunk, precision=precision,
+        payload=payload, interpret=interpret,
+    )
+
+
+def _local_scatter(
+    idx: Array,
+    upd: Array,
+    n_rows: int,
+    *,
+    impl: str,
+    tile_rows: int,
+    chunk: int,
+    precision: str,
+    payload: Optional[str],
+    interpret: bool,
+) -> Array:
+    """Single-device scatter-add body (also the shard_map local body)."""
+    if impl == "xla":
+        if os.environ.get("AVR_TPU_SMALL_SCATTER", "unique") == "unique" and on_tpu():
+            return _xla_scatter_unique(
+                idx.reshape(-1), upd.reshape(-1, upd.shape[-1]), n_rows
+            )
+        return (
+            jnp.zeros((n_rows, upd.shape[-1]), upd.dtype)
+            .at[idx.reshape(-1)]
+            .add(upd.reshape(-1, upd.shape[-1]))
+        )
     return _sorted_scatter(
         idx, upd, n_rows,
         tile_rows=tile_rows, chunk=chunk, precision=precision,

@@ -109,11 +109,16 @@ def _remat_wrap(fn, remat):
         return fn
     if spec in (True, "full", "1"):
         return jax.checkpoint(fn)
-    policy = {
+    policies = {
         "dots": jax.checkpoint_policies.dots_saveable,
         "dots_nb": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-    }[str(spec)]
-    return jax.checkpoint(fn, policy=policy)
+    }
+    if str(spec) not in policies:
+        raise ValueError(
+            f"unrecognized remat spec {spec!r} (AVR_TPU_REMAT or config "
+            "remat): expected one of none/full/dots/dots_nb"
+        )
+    return jax.checkpoint(fn, policy=policies[str(spec)])
 
 
 def render_fused(

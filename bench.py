@@ -108,7 +108,8 @@ def _bench_meshrir(steps: int = 3) -> dict:
 
     from avr_tpu.config import AVRConfig
 
-    with open("/root/reference/config_files/avr_meshrir.yml") as f:
+    ref_root = os.environ.get("AVR_TPU_REFERENCE_DIR", "/root/reference")
+    with open(os.path.join(ref_root, "config_files", "avr_meshrir.yml")) as f:
         cfg = AVRConfig.from_dict(yaml.safe_load(f))
     # headline mode (quality-gated hybridc mix); AVR_TPU_BENCH_INTERP
     # overrides (e.g. trilinear for the tcnn-parity measurement —

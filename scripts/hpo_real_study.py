@@ -81,9 +81,15 @@ def main():
     wall = time.time() - t0
 
     # per-variant artifact names so re-runs never clobber earlier
-    # studies' committed outputs (r3: the das study)
-    tag = "" if args.variant == "das" else f"_{args.variant}" + (
-        f"_{args.iters}" if args.iters != 1500 else ""
+    # studies' committed outputs (r3: the das study at the default
+    # budget); a non-default --iters gets a suffix for EVERY variant,
+    # das included — otherwise a das re-run at another budget would
+    # overwrite the committed r3 study outputs.
+    iters_tag = f"_{args.iters}" if args.iters != 1500 else ""
+    tag = (
+        iters_tag
+        if args.variant == "das"
+        else f"_{args.variant}{iters_tag}"
     )
     with open(os.path.join(ROOT, f"study_trials{tag}.jsonl"), "w") as f:
         for t in study.trials:
