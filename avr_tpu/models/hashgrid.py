@@ -713,6 +713,85 @@ def _onehot_rows_bwd(cast, res, g):
 _onehot_rows.defvjp(_onehot_rows_fwd, _onehot_rows_bwd)
 
 
+def _interp_ksum(feats, wl, idt):
+    """Weighted K-sum of [D', K, N, F] features → [D', N, F]."""
+    if idt == "bfloat16" and feats.dtype == jnp.bfloat16:
+        wl = wl.astype(feats.dtype)
+    else:
+        feats = feats.astype(wl.dtype)
+    return (feats * wl[..., None]).sum(axis=1)
+
+
+def _encode_klm_groups(
+    table: Array, groups, x: Array, cast: str = None
+) -> Optional[Array]:
+    """Grouped klm encode with ONE multi-stream gather VJP across groups.
+
+    Per-group forward HLO is identical to per-group _encode_klm calls
+    (same gather ops, same interpolation); the difference is the
+    BACKWARD: all groups' (index, cotangent) streams feed one sorted
+    scatter launch producing one table gradient, instead of per-group
+    full-size gradients that autodiff ADDs (see
+    hash_scatter.gather_rows_lmajor_multi). Returns [N, L_total, F]
+    level-major, or None when a group needs a path the multi op does
+    not cover (caller falls back to per-group encodes).
+    """
+    lead = x.shape[:-1]
+    N = int(np.prod(lead)) if lead else 1
+    m = int(os.environ.get("AVR_TPU_KLM_MINOR", "32"))
+    if N % m:
+        return None
+    _p2 = os.environ.get("AVR_TPU_PAD_F2", "0")
+    if table.shape[-1] == 2 and (
+        _p2 == "force" or (_p2 == "1" and hash_scatter.on_tpu())
+    ):
+        return None  # pad2 widens the table per call — keep legacy path
+    F = table.shape[-1]
+    if F == 2 and cast == "bfloat16" and os.environ.get(
+        "AVR_TPU_GATHER_PACK2", "auto"
+    ) == "1":
+        return None
+    if F == 4 and cast == "bfloat16" and os.environ.get(
+        "AVR_TPU_GATHER_PACK4", "auto"
+    ) == "1":
+        return None
+    xf = x.reshape(N, 3)
+    idt = os.environ.get("AVR_TPU_INTERP_DTYPE", "bfloat16")
+    per, gidx = [], []
+    for gs in groups:
+        idx, w = _indices_weights_klm(gs, xf)  # [L_g, K, N]
+        D = _n_onehot_levels(gs, F)
+        per.append((gs, idx, w, D))
+        if D < gs.n_levels:
+            K = gs.n_corners
+            gidx.append(idx[D:].reshape(gs.n_levels - D, K * N // m, m))
+    feats = (
+        hash_scatter.gather_rows_lmajor_multi(table, tuple(gidx), cast)
+        if gidx
+        else ()
+    )
+    outs, fi = [], 0
+    for gs, idx, w, D in per:
+        parts = []
+        if D:
+            dense = _onehot_levels_lookup(table, gs, idx[:D], cast)
+            parts.append(_interp_ksum(dense, w[:D], idt))
+        if D < gs.n_levels:
+            K = gs.n_corners
+            gf = feats[fi].reshape(gs.n_levels - D, K, N, F)
+            fi += 1
+            parts.append(_interp_ksum(gf, w[D:], idt))
+        outs.append(
+            parts[0]
+            if len(parts) == 1
+            else jnp.concatenate([p.astype(parts[0].dtype) for p in parts], axis=0)
+        )
+    out = jnp.concatenate(
+        [o.astype(outs[0].dtype) for o in outs], axis=0
+    )  # [L_total, N, F]
+    return jnp.moveaxis(out, 0, 1)  # [N, L_total, F]
+
+
 def _encode_klm(
     table: Array, static: HashGridStatic, x: Array, cast: str = None
 ) -> Array:
@@ -750,12 +829,7 @@ def _encode_klm(
     idt = os.environ.get("AVR_TPU_INTERP_DTYPE", "bfloat16")
 
     def interp(feats, wl):
-        """Weighted K-sum of [D', K, N, F] features → [D', N, F]."""
-        if idt == "bfloat16" and feats.dtype == jnp.bfloat16:
-            wl = wl.astype(feats.dtype)
-        else:
-            feats = feats.astype(wl.dtype)
-        return (feats * wl[..., None]).sum(axis=1)
+        return _interp_ksum(feats, wl, idt)
 
     # AVR_TPU_GATHER_PACK2: F=2 bf16 tables gather ONE packed f32 word
     # per row (dense output layout) instead of an entry-minor bf16
@@ -872,6 +946,20 @@ def encode(
         # group at its own K and concatenate level-major — the flattened
         # [..., L·F] layout is level-major, so group concat along the
         # last axis reproduces the pure-mode output ordering exactly.
+        if (
+            _enc_layout() == "klm"
+            and os.environ.get("AVR_TPU_GROUP_GATHER", "1") == "1"
+        ):
+            cast = (
+                jnp.dtype(compute_dtype).name
+                if compute_dtype is not None and compute_dtype != table.dtype
+                else None
+            )
+            out = _encode_klm_groups(table, groups, x, cast)
+            if out is not None:
+                return out.reshape(
+                    *x.shape[:-1], static.n_levels * static.n_features
+                )
         return jnp.concatenate(
             [encode(table, g, x, compute_dtype) for g in groups], axis=-1
         )
@@ -932,6 +1020,22 @@ def encode_pair_fused(
     n_pts = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
     groups = _hybrid_groups(static, fused.shape[-1], n_pts)
     if groups is not None:
+        if (
+            _enc_layout() == "klm"
+            and os.environ.get("AVR_TPU_GROUP_GATHER", "1") == "1"
+        ):
+            cast = (
+                jnp.dtype(compute_dtype).name
+                if compute_dtype is not None and compute_dtype != fused.dtype
+                else None
+            )
+            out = _encode_klm_groups(fused, groups, x, cast)  # [N, L, 2F]
+            if out is not None:
+                L = static.n_levels
+                return (
+                    out[..., :Fh].reshape(*lead, L * Fh),
+                    out[..., Fh:].reshape(*lead, L * Fh),
+                )
         outs = [encode_pair_fused(fused, g, x, compute_dtype) for g in groups]
         return (
             jnp.concatenate([o[0] for o in outs], axis=-1),

@@ -250,6 +250,61 @@ def _local_scatter(
     )
 
 
+def scatter_add_rows_multi(
+    streams,
+    n_rows: int,
+    *,
+    impl: Optional[str] = None,
+    tile_rows: int = 1024,
+    chunk: int = 1024,
+    precision: str = "bf16x2",
+    payload: Optional[str] = None,
+) -> Array:
+    """scatter_add_rows over MULTIPLE streams into ONE table gradient.
+
+    streams: list of (idx, upd) with idx [G_s, K_s] group-structured (or
+    [M_s]) and upd matching with trailing feature dim. Streams must
+    cover disjoint ascending table segments in list order (split-group
+    encodes). One sorted-scatter kernel launch and one [n_rows, F]
+    output for all streams — the per-group full-size gradient ADDs
+    disappear.
+    """
+    if impl is None:
+        impl = os.environ.get("AVR_TPU_SCATTER") or ("sorted" if on_tpu() else "xla")
+    mesh = _SPMD_MESH
+    ndev = _spmd_ndev(mesh)
+    if impl == "xla" or ndev > 1:
+        # CPU/parity path: one flat XLA scatter over the concatenated
+        # stream (streams are disjoint, so sums equal the per-group
+        # scatter+add bit-exactly). Multi-device meshes also take this
+        # route: each stream rides the existing shard_map machinery and
+        # the per-stream results sum (the concat trick would need equal
+        # per-device blocks across differently-sized streams).
+        if ndev > 1:
+            out = None
+            for s_idx, s_upd in streams:
+                d = scatter_add_rows(s_idx, s_upd, n_rows, impl=impl, payload=payload)
+                out = d if out is None else out + d
+            return out
+        F = streams[0][1].shape[-1]
+        flat_idx = jnp.concatenate([i.reshape(-1) for i, _ in streams])
+        flat_upd = jnp.concatenate([u.reshape(-1, F) for _, u in streams])
+        return _local_scatter(
+            flat_idx, flat_upd, n_rows, impl="xla",
+            tile_rows=tile_rows, chunk=chunk, precision=precision,
+            payload=payload, interpret=False,
+        )
+    if payload is None:
+        payload = os.environ.get("AVR_TPU_SCATTER_PAYLOAD", "f32")
+    tile_rows = int(os.environ.get("AVR_TPU_SCATTER_TS", tile_rows))
+    chunk = int(os.environ.get("AVR_TPU_SCATTER_UC", chunk))
+    return _sorted_scatter_streams(
+        streams, n_rows,
+        tile_rows=tile_rows, chunk=chunk, precision=precision,
+        payload=payload, interpret=False,
+    )
+
+
 def _xla_scatter_unique(idx: Array, upd: Array, n_rows: int) -> Array:
     """Collision-free scatter-add for small update streams.
 
@@ -306,22 +361,33 @@ def _sorted_scatter(
     payload: str = "f32",
     interpret: bool,
 ) -> Array:
-    F = upd.shape[-1]
-    M = int(np.prod(idx.shape))
-    TS = tile_rows
-    UC = chunk
-    assert UC % _LANE == 0
-    CB = UC // _LANE
-    n_tiles = _cdiv(n_rows, TS)
-    E_pad = n_tiles * TS
+    return _sorted_scatter_streams(
+        [(idx, upd)], n_rows,
+        tile_rows=tile_rows, chunk=chunk, precision=precision,
+        payload=payload, interpret=interpret,
+    )
 
-    # ---- 1. sort (index, update-row) pairs by index -------------------
-    # The sort is the dominant cost of this path; "bf16" payload mode
-    # rounds updates to bf16 and packs feature pairs (u_j, u_{j+F/2})
-    # into single f32 lanes, so the sort moves 1 + F/2 operands instead
-    # of 1 + F (and the kernel needs one matmul pass instead of hi+lo).
-    # "prepacked2": the caller already packed an F=2 bf16 pair per f32
-    # word (gather_rows_packed2's cotangent) — skip the packing step.
+
+def _pack_and_sort_stream(idx, upd, payload, precision):
+    """Sort ONE (idx, upd) stream by index → (idx_s [M], payload cols).
+
+    2-D idx [G, K] means "group-structured": every index in group g is
+    < every index in group g+1 (hash-grid levels occupy disjoint
+    ascending table segments), so G independent batched row-sorts
+    (much cheaper than one flat M-element sort) followed by
+    concatenation yield a globally sorted stream.
+    is_stable=False: a stable sort makes XLA sort an extra iota operand
+    (~25% more sort traffic); summation order among equal indices is
+    irrelevant to a scatter-ADD beyond fp32 rounding, which the kernel's
+    accumulation already owns.
+
+    "bf16" payload mode rounds updates to bf16 and packs feature pairs
+    (u_j, u_{j+F/2}) into single f32 lanes, so the sort moves 1 + F/2
+    operands instead of 1 + F (and the kernel needs one matmul pass
+    instead of hi+lo). "prepacked2": the caller already packed an F=2
+    bf16 pair per f32 word (gather_rows_packed2's cotangent).
+    """
+    F = upd.shape[-1]
     if payload == "prepacked2":
         assert upd.shape[-1] == 1 and precision != "f32"
         F = 2
@@ -338,16 +404,6 @@ def _sorted_scatter(
             jnp.float32,
         )  # [..., F//2] f32 carrying bf16 pairs
     NP = upd.shape[-1]  # payload operand count
-
-    # 2-D idx [G, K] means "group-structured": every index in group g is
-    # < every index in group g+1 (hash-grid levels occupy disjoint
-    # ascending table segments), so G independent batched row-sorts
-    # (much cheaper than one flat M-element sort) followed by
-    # concatenation yield a globally sorted stream.
-    # is_stable=False: a stable sort makes XLA sort an extra iota operand
-    # (~25% more sort traffic); summation order among equal indices is
-    # irrelevant to a scatter-ADD beyond fp32 rounding, which the kernel's
-    # accumulation already owns.
     if idx.ndim == 2:
         ops = (idx,) + tuple(upd[..., j] for j in range(NP))
         sorted_ops = [
@@ -356,8 +412,60 @@ def _sorted_scatter(
         ]
     else:
         ops = (idx,) + tuple(upd[:, j] for j in range(NP))
-        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    idx_s = sorted_ops[0]
+        sorted_ops = list(jax.lax.sort(ops, num_keys=1, is_stable=False))
+    return sorted_ops[0], sorted_ops[1:], F, packed
+
+
+def _sorted_scatter_streams(
+    streams,
+    n_rows: int,
+    *,
+    tile_rows: int,
+    chunk: int,
+    precision: str,
+    payload: str = "f32",
+    interpret: bool,
+) -> Array:
+    """Sorted scatter over one or more (idx, upd) streams.
+
+    Multiple streams must target DISJOINT, ASCENDING table segments in
+    list order (e.g. the per-group level ranges of a split hash-grid
+    encode): each stream is sorted independently and the sorted parts
+    concatenate into one globally sorted stream, so all groups share ONE
+    kernel launch and ONE [E_pad, F] gradient — no per-group full-size
+    gradients to add afterwards (the r4 split materialized and ADDed
+    two, 4.0 ms of add_any in the round-5 flagship trace).
+    """
+    TS = tile_rows
+    UC = chunk
+    assert UC % _LANE == 0
+    CB = UC // _LANE
+    n_tiles = _cdiv(n_rows, TS)
+    E_pad = n_tiles * TS
+
+    # ---- 1. sort each stream's (index, update-row) pairs by index -----
+    # The sort is the dominant cost of this path (see _pack_and_sort_
+    # stream for the payload packing + batched per-level sort notes).
+    F, packed = None, None
+    idx_parts, pay_parts = [], []
+    for s_idx, s_upd in streams:
+        i_s, p_s, F_s, pk_s = _pack_and_sort_stream(s_idx, s_upd, payload, precision)
+        assert F is None or (F == F_s and packed == pk_s), (
+            "multi-stream scatter requires identical feature width and "
+            "payload mode across streams"
+        )
+        F, packed = F_s, pk_s
+        idx_parts.append(i_s)
+        pay_parts.append(p_s)
+    NP = len(pay_parts[0])
+    if len(idx_parts) == 1:
+        idx_s, sorted_ops = idx_parts[0], [None] + pay_parts[0]
+    else:
+        idx_s = jnp.concatenate(idx_parts)
+        sorted_ops = [None] + [
+            jnp.concatenate([p[j] for p in pay_parts]) for j in range(NP)
+        ]
+    M = int(idx_s.shape[0])
 
     Mp = (_cdiv(M, UC) + 1) * UC  # padded stream length (see step 3)
     blocks, cbase, colblk, gtot = _tile_ranges(idx_s, M, Mp, n_tiles, TS, UC)
@@ -1172,3 +1280,72 @@ def _gather_lmaj_bwd(cast, res, g):
 
 
 gather_rows_lmajor.defvjp(_gather_lmaj_fwd, _gather_lmaj_bwd)
+
+
+# ----------------------------------------------------------------------
+# Multi-group gather: one custom VJP across ALL level groups of a split
+# encode, so the backward runs ONE sorted scatter (one kernel launch,
+# one [E_pad, F] gradient) instead of per-group full-size gradients that
+# autodiff then ADDs (4.0 ms of add_any + duplicated zero-tile writes in
+# the round-5 flagship trace). The forward emits the same per-group
+# gather ops as separate gather_rows_lmajor calls would — the
+# gather-fusion-splitting win (docs/PERFORMANCE.md r4) is a property of
+# the forward HLO, which is unchanged.
+# ----------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_lmajor_multi(table: Array, idx_list, cast: Optional[str] = None):
+    """table[idx] for a TUPLE of level-major index arrays (one per level
+    group, each [L_g, ...]; groups must cover disjoint ascending level
+    ranges in tuple order). Returns a tuple of per-group feature arrays.
+
+    Same contract per group as gather_rows_lmajor; the backward sorts
+    each group's (index, cotangent) stream per level and feeds the
+    concatenated sorted streams to ONE scatter kernel launch.
+    """
+    table = _maybe_pin_rowmajor(table)
+    t = table.astype(cast) if cast is not None else table
+    return tuple(_maybe_barrier(t[_maybe_idx_barrier(i)]) for i in idx_list)
+
+
+def _gather_lmaj_multi_fwd(table, idx_list, cast):
+    table = _maybe_pin_rowmajor(table)
+    t = table.astype(cast) if cast is not None else table
+    idx_list = tuple(_maybe_idx_barrier(i) for i in idx_list)
+    out = tuple(_maybe_barrier(t[i]) for i in idx_list)
+    return out, (
+        idx_list, table.shape, int(t.dtype == jnp.bfloat16),
+        int(table.dtype == jnp.bfloat16),
+    )
+
+
+def _gather_lmaj_multi_bwd(cast, res, g):
+    idx_list, (E, F), is_bf16, table_bf16 = res
+    out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
+    total = sum(int(np.prod(i.shape)) for i in idx_list)
+    if total < _sorted_min_rows() or not on_tpu():
+        flat_idx = jnp.concatenate([i.reshape(-1) for i in idx_list])
+        flat_g = jnp.concatenate(
+            [gi.reshape(-1, F).astype(jnp.float32) for gi in g]
+        )
+        d = scatter_add_rows(flat_idx, flat_g, E, impl="xla").astype(out_dtype)
+    else:
+        # same payload rule as _gather_lmaj_bwd, applied per group
+        payload = os.environ.get("AVR_TPU_SCATTER_PAYLOAD") or (
+            "bf16" if is_bf16 else None
+        )
+        streams = []
+        for i, gi in zip(idx_list, g):
+            L = i.shape[0]
+            M = int(np.prod(i.shape)) // L
+            g2 = gi.reshape(L, M, F)
+            if not (payload == "bf16" and is_bf16 and F % 2 == 0):
+                g2 = g2.astype(jnp.float32)
+            streams.append((i.reshape(L, M), g2))
+        d = scatter_add_rows_multi(streams, E, payload=payload).astype(out_dtype)
+    return (
+        _maybe_pin_grad_consumer(d),
+        tuple(jnp.zeros(i.shape, dtype=jax.dtypes.float0) for i in idx_list),
+    )
+
+
+gather_rows_lmajor_multi.defvjp(_gather_lmaj_multi_fwd, _gather_lmaj_multi_bwd)

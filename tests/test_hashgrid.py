@@ -580,3 +580,100 @@ def test_split_auto_rules():
         assert f(2, True, 20, 1_000_000) == 10    # narrow large: cap 10
         assert f(4, True, 20, 1_000_000) == 10    # wide pure: halve
         assert f(4, False, 20, 1_000_000) == 0    # wide hybrid: never
+
+
+def test_group_gather_single_scatter_parity(rng, monkeypatch):
+    """AVR_TPU_GROUP_GATHER=1 (r5): the split-group encode routes all
+    groups through ONE multi-stream gather VJP whose backward runs one
+    scatter over the concatenated per-group streams. Groups cover
+    disjoint table segments, so outputs AND table gradients must equal
+    the per-group path EXACTLY (same sums, different program)."""
+    cfg = EncodingConfig(
+        n_levels=8, n_features_per_level=2, log2_hashmap_size=7,
+        base_resolution=3, per_level_scale=1.5,
+    )
+    monkeypatch.setenv("AVR_TPU_SPLIT_LEVELS", "3")
+    for interp in ("trilinear", "hybridc:4"):
+        cfg.interpolation = interp
+        static = hashgrid.build_static(cfg)
+        table = hashgrid.init(jax.random.PRNGKey(1), static)
+        x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+
+        def run(flag):
+            monkeypatch.setenv("AVR_TPU_GROUP_GATHER", flag)
+            out = np.asarray(hashgrid.encode(table, static, x))
+            g = jax.grad(
+                lambda t: jnp.sum(jnp.sin(hashgrid.encode(t, static, x)))
+            )(table)
+            return out, np.asarray(g)
+
+        o_multi, g_multi = run("1")
+        o_per, g_per = run("0")
+        np.testing.assert_array_equal(o_multi, o_per)
+        np.testing.assert_array_equal(g_multi, g_per)
+
+
+def test_group_gather_pair_fused_parity(rng, monkeypatch):
+    """Same invariant through encode_pair_fused (the flagship's pos/tx
+    pair tables), which shares _encode_klm_groups."""
+    cfg = EncodingConfig(
+        n_levels=6, n_features_per_level=2, log2_hashmap_size=7,
+        base_resolution=3, per_level_scale=1.5, interpolation="hybridc:3",
+    )
+    static = hashgrid.build_static(cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    fused = jnp.concatenate(
+        [hashgrid.init(k1, static), hashgrid.init(k2, static)], axis=-1
+    )
+    x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+    monkeypatch.setenv("AVR_TPU_SPLIT_LEVELS", "2")
+
+    def run(flag):
+        monkeypatch.setenv("AVR_TPU_GROUP_GATHER", flag)
+        a, b = hashgrid.encode_pair_fused(fused, static, x)
+        g = jax.grad(
+            lambda t: jnp.sum(
+                jnp.sin(hashgrid.encode_pair_fused(t, static, x)[0])
+            )
+            + jnp.sum(jnp.cos(hashgrid.encode_pair_fused(t, static, x)[1]))
+        )(fused)
+        return np.asarray(a), np.asarray(b), np.asarray(g)
+
+    a1, b1, g1 = run("1")
+    a0, b0, g0 = run("0")
+    np.testing.assert_array_equal(a1, a0)
+    np.testing.assert_array_equal(b1, b0)
+    np.testing.assert_array_equal(g1, g0)
+
+
+def test_gather_rows_lmajor_multi_matches_per_group(rng):
+    """The multi-stream gather op itself: outputs match per-group
+    gather_rows_lmajor; the summed table cotangent matches the per-group
+    VJPs' sum exactly (disjoint segments — no fp32 order ambiguity)."""
+    from avr_tpu.ops import hash_scatter as hs
+
+    E, F = 96, 2
+    table = jnp.asarray(rng.normal(size=(E, F)), jnp.float32)
+    idx1 = jnp.asarray(rng.integers(0, 40, size=(2, 8, 4)), jnp.int32)
+    idx2 = jnp.asarray(rng.integers(40, E, size=(3, 8, 4)), jnp.int32)
+
+    outs = hs.gather_rows_lmajor_multi(table, (idx1, idx2), None)
+    np.testing.assert_array_equal(
+        np.asarray(outs[0]), np.asarray(hs.gather_rows_lmajor(table, idx1, None))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[1]), np.asarray(hs.gather_rows_lmajor(table, idx2, None))
+    )
+
+    def loss_multi(t):
+        a, b = hs.gather_rows_lmajor_multi(t, (idx1, idx2), None)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(jnp.cos(b))
+
+    def loss_per(t):
+        return jnp.sum(
+            jnp.sin(hs.gather_rows_lmajor(t, idx1, None))
+        ) + jnp.sum(jnp.cos(hs.gather_rows_lmajor(t, idx2, None)))
+
+    g_multi = np.asarray(jax.grad(loss_multi)(table))
+    g_per = np.asarray(jax.grad(loss_per)(table))
+    np.testing.assert_array_equal(g_multi, g_per)
