@@ -948,7 +948,7 @@ def encode(
         # last axis reproduces the pure-mode output ordering exactly.
         if (
             _enc_layout() == "klm"
-            and os.environ.get("AVR_TPU_GROUP_GATHER", "1") == "1"
+            and os.environ.get("AVR_TPU_GROUP_GATHER", "0") == "1"
         ):
             cast = (
                 jnp.dtype(compute_dtype).name
@@ -1022,7 +1022,7 @@ def encode_pair_fused(
     if groups is not None:
         if (
             _enc_layout() == "klm"
-            and os.environ.get("AVR_TPU_GROUP_GATHER", "1") == "1"
+            and os.environ.get("AVR_TPU_GROUP_GATHER", "0") == "1"
         ):
             cast = (
                 jnp.dtype(compute_dtype).name

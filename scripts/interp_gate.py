@@ -31,14 +31,15 @@ import numpy as np
 LOGS = os.path.join("results", "interp_fullbudget", "logs")
 
 
-def table_from_logs(modes, seeds):
+def table_from_logs(modes, seeds, seq=None):
     table = {}
     for mode in modes:
         rows = []
         for seed in seeds:
-            path = os.path.join(
-                LOGS, f"{mode.replace(':', '')}_s{seed}", "result.json"
-            )
+            name = f"{mode.replace(':', '')}_s{seed}"
+            if seq:  # C50-valid T=seq protocol (VERDICT r4 item 5)
+                name += f"_T{seq}"
+            path = os.path.join(LOGS, name, "result.json")
             with open(path) as f:
                 rows.append(json.load(f)["summary"])
         table[mode] = {
@@ -58,12 +59,16 @@ def main():
                     help="aggregate per-run result.json files instead of "
                          "reading a summary")
     ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--seq", type=int, default=None,
+                    help="with --logs: read the _T{seq} runs (1600 = the "
+                         "C50-valid protocol, all 7 metrics finite)")
     args = ap.parse_args()
     cand = args.candidate
 
     if args.logs:
         table = table_from_logs(
-            ["trilinear", cand], [int(s) for s in args.seeds.split(",")]
+            ["trilinear", cand], [int(s) for s in args.seeds.split(",")],
+            seq=args.seq,
         )
     else:
         with open(args.summary) as f:
