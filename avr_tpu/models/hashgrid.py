@@ -713,6 +713,16 @@ def _onehot_rows_bwd(cast, res, g):
 _onehot_rows.defvjp(_onehot_rows_fwd, _onehot_rows_bwd)
 
 
+def _level_bounds(static: HashGridStatic, d: int) -> Tuple[Tuple[int, int], ...]:
+    """Static (offset, offset+size) table range per level ≥ d — the
+    sorted scatter's sub-run sort optimization hint (hash_scatter.
+    gather_rows_lmajor ``bounds``)."""
+    return tuple(
+        (static.offsets[l], static.offsets[l] + static.sizes[l])
+        for l in range(d, static.n_levels)
+    )
+
+
 def _interp_ksum(feats, wl, idt):
     """Weighted K-sum of [D', K, N, F] features → [D', N, F]."""
     if idt == "bfloat16" and feats.dtype == jnp.bfloat16:
@@ -868,7 +878,8 @@ def _encode_klm(
             )
         else:
             gfeats = hash_scatter.gather_rows_lmajor(
-                table, idx[D:].reshape(L - D, K * N // m, m), cast
+                table, idx[D:].reshape(L - D, K * N // m, m), cast,
+                _level_bounds(static, D),
             ).reshape(L - D, K, N, F)
             parts.append(interp(gfeats, w[D:]))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(
@@ -902,7 +913,7 @@ def _encode_lm(
     # backward returns the fp32 scatter output directly (see
     # gather_rows_lmajor).
     feats = hash_scatter.gather_rows_lmajor(
-        table, idx.reshape(L, N // g, g * K), cast
+        table, idx.reshape(L, N // g, g * K), cast, _level_bounds(static, 0)
     )  # [L, N/g, g*K, F]
     # With a bf16 table the weight multiply + K-sum default to bf16
     # (~2-3 ms/step: interp intermediates halve their bytes and the feats

@@ -126,6 +126,7 @@ def scatter_add_rows(
     precision: str = "bf16x2",
     payload: Optional[str] = None,
     interpret: bool = False,
+    seg_bounds: Optional[Tuple[Tuple[int, int], ...]] = None,
 ) -> Array:
     """Sum update rows into bins: out[r] = sum_{i: idx[i]==r} upd[i].
 
@@ -196,7 +197,7 @@ def scatter_add_rows(
             local = _local_scatter(
                 i_l, u_l, n_rows, impl=impl,
                 tile_rows=tile_rows, chunk=chunk, precision=precision,
-                payload=payload, interpret=interpret,
+                payload=payload, interpret=interpret, seg_bounds=seg_bounds,
             )
             return jax.lax.psum(local, axes)
 
@@ -216,7 +217,7 @@ def scatter_add_rows(
     return _local_scatter(
         idx, upd, n_rows, impl=impl,
         tile_rows=tile_rows, chunk=chunk, precision=precision,
-        payload=payload, interpret=interpret,
+        payload=payload, interpret=interpret, seg_bounds=seg_bounds,
     )
 
 
@@ -231,6 +232,7 @@ def _local_scatter(
     precision: str,
     payload: Optional[str],
     interpret: bool,
+    seg_bounds=None,
 ) -> Array:
     """Single-device scatter-add body (also the shard_map local body)."""
     if impl == "xla":
@@ -246,7 +248,7 @@ def _local_scatter(
     return _sorted_scatter(
         idx, upd, n_rows,
         tile_rows=tile_rows, chunk=chunk, precision=precision,
-        payload=payload, interpret=interpret,
+        payload=payload, interpret=interpret, seg_bounds=seg_bounds,
     )
 
 
@@ -360,15 +362,16 @@ def _sorted_scatter(
     precision: str,
     payload: str = "f32",
     interpret: bool,
+    seg_bounds=None,
 ) -> Array:
     return _sorted_scatter_streams(
         [(idx, upd)], n_rows,
         tile_rows=tile_rows, chunk=chunk, precision=precision,
-        payload=payload, interpret=interpret,
+        payload=payload, interpret=interpret, seg_bounds=seg_bounds,
     )
 
 
-def _pack_and_sort_stream(idx, upd, payload, precision):
+def _pack_and_sort_stream(idx, upd, payload, precision, subruns=1):
     """Sort ONE (idx, upd) stream by index → (idx_s [M], payload cols).
 
     2-D idx [G, K] means "group-structured": every index in group g is
@@ -405,11 +408,20 @@ def _pack_and_sort_stream(idx, upd, payload, precision):
         )  # [..., F//2] f32 carrying bf16 pairs
     NP = upd.shape[-1]  # payload operand count
     if idx.ndim == 2:
+        if subruns > 1:
+            # sub-run split: [G, K] → [G·S, K/S] independent row sorts
+            # (the measured super-linear row-length scaling is the whole
+            # win — see _sorted_scatter_subruns)
+            G, K = idx.shape
+            idx = idx.reshape(G * subruns, K // subruns)
+            upd = upd.reshape(G * subruns, K // subruns, NP)
         ops = (idx,) + tuple(upd[..., j] for j in range(NP))
-        sorted_ops = [
-            o.reshape(-1)
-            for o in jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=False)
-        ]
+        sorted_ops = list(
+            jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=False)
+        )
+        if subruns > 1:
+            return sorted_ops[0], sorted_ops[1:], F, packed  # 2-D [R, Kr]
+        sorted_ops = [o.reshape(-1) for o in sorted_ops]
     else:
         ops = (idx,) + tuple(upd[:, j] for j in range(NP))
         sorted_ops = list(jax.lax.sort(ops, num_keys=1, is_stable=False))
@@ -425,6 +437,7 @@ def _sorted_scatter_streams(
     precision: str,
     payload: str = "f32",
     interpret: bool,
+    seg_bounds=None,
 ) -> Array:
     """Sorted scatter over one or more (idx, upd) streams.
 
@@ -442,6 +455,23 @@ def _sorted_scatter_streams(
     CB = UC // _LANE
     n_tiles = _cdiv(n_rows, TS)
     E_pad = n_tiles * TS
+
+    # ---- 0. sub-run split (AVR_TPU_SORT_SUBRUNS) ---------------------
+    # XLA's batched row sort is strongly SUPER-linear in row length
+    # (measured on chip, scripts/sort_probe.py: [L,K]→[8L,K/8] is
+    # 0.29-0.34x the cost at constant elements). When the caller supplied
+    # static per-level table bounds, split each level's sort into S
+    # sub-runs and cover the S sorted runs per tile in the chunk
+    # schedule (_subrun_ranges) — the kernel's exact one-hot only needs
+    # COVERAGE, not a globally sorted stream.
+    S = _subrun_factor(streams, seg_bounds, TS)
+    if S > 1:
+        s_idx, s_upd = streams[0]
+        return _sorted_scatter_subruns(
+            s_idx, s_upd, seg_bounds, n_rows, S,
+            tile_rows=TS, chunk=UC, precision=precision,
+            payload=payload, interpret=interpret,
+        )
 
     # ---- 1. sort each stream's (index, update-row) pairs by index -----
     # The sort is the dominant cost of this path (see _pack_and_sort_
@@ -492,7 +522,16 @@ def _sorted_scatter_streams(
     data = jnp.concatenate(
         [jnp.stack(rows), jnp.zeros((8 - 2 - NP, Mp), jnp.float32)]
     )  # [8, Mp]
+    return _launch_tile_kernel(
+        blocks, cbase, colblk, gtot, data,
+        n_rows=n_rows, E_pad=E_pad, n_tiles=n_tiles, TS=TS, UC=UC, CB=CB,
+        F=F, precision=precision, packed=packed, interpret=interpret,
+    )
 
+
+def _launch_tile_kernel(blocks, cbase, colblk, gtot, data, *, n_rows, E_pad,
+                        n_tiles, TS, UC, CB, F, precision, packed, interpret):
+    """Launch _tile_kernel over a prepared chunk schedule + data block."""
     # Output layout modes (AVR_TPU_SCATTER_TOUT), all measured on the
     # flagship bench under the klm encode layout (2026-08-18):
     #   "0" — row-major [E_pad, F]; any consumer relayout lands on XLA.
@@ -644,6 +683,189 @@ def _tile_ranges(idx_s, M, Mp, n_tiles, TS, UC):
     colblk = blocks[0][t_of] + (g_ar - cbase[t_of]) * CB
     colblk = jnp.clip(colblk, 0, (Mp - UC) // _LANE)
     gtot = cbase[-1:]  # [1] total chunks
+    return blocks, cbase, colblk, gtot
+
+
+def _subrun_factor(streams, bounds, TS: int) -> int:
+    """Sub-run split factor S for the sorted scatter (AVR_TPU_SORT_SUBRUNS).
+
+    "auto": largest S in {16, 8, 4, 2} with 128-aligned runs (the chunk
+    schedule samples the stream at 128-row block granularity) and an
+    average of >= 4 blocks per (tile, run) segment — below that, the
+    per-segment DMA-chunk rounding wastes more kernel bandwidth than the
+    cheaper sort saves (each segment pays up to one slack block plus
+    chunk-capacity rounding). "0"/"1" disable; an integer forces S.
+    """
+    if len(streams) != 1 or bounds is None:
+        return 1
+    idx, _ = streams[0]
+    if idx.ndim != 2 or idx.shape[0] != len(bounds):
+        return 1
+    spec = os.environ.get("AVR_TPU_SORT_SUBRUNS", "auto")
+    if spec in ("0", "1", "off"):
+        return 1
+    G, K = idx.shape
+    touched = sum(-(-(hi - lo) // TS) for lo, hi in bounds)
+    if spec != "auto":
+        s = int(spec)
+        return s if s > 1 and K % (s * _LANE) == 0 else 1
+    for s in (16, 8, 4, 2):
+        if K % (s * _LANE):
+            continue
+        if G * K >= touched * s * 4 * _LANE:
+            return s
+    return 1
+
+
+def _sorted_scatter_subruns(
+    idx: Array,
+    upd: Array,
+    bounds,
+    n_rows: int,
+    S: int,
+    *,
+    tile_rows: int,
+    chunk: int,
+    precision: str,
+    payload: str,
+    interpret: bool,
+) -> Array:
+    """Sorted scatter with per-level SUB-RUN sorts.
+
+    idx [G, K] group-structured (level g's indices in the static table
+    segment bounds[g]); each level's row sort runs as S independent
+    sorts of K/S elements — measured 2.5-4.5x cheaper than one K-element
+    row sort at MeshRIR/flagship scale (scripts/sort_probe.py; XLA's
+    batched sort cost is strongly super-linear in row length). The
+    stream is then S sorted runs per level; _subrun_ranges builds a
+    chunk schedule covering every (tile, run) segment, and the
+    UNCHANGED tile kernel masks spill rows with its exact one-hot.
+
+    Each sorted run is padded to a DMA-chunk multiple PLUS one spare
+    chunk of sentinel rows (idx = E_pad): a segment's last chunk window
+    may overrun its block range by up to CB-1 blocks, and the pad
+    guarantees the overrun stays INSIDE the same run — the next run
+    starts over at small table indices that WOULD alias earlier tiles
+    and double-count.
+    """
+    TS, UC = tile_rows, chunk
+    CB = UC // _LANE
+    n_tiles = _cdiv(n_rows, TS)
+    E_pad = n_tiles * TS
+    assert E_pad < (1 << 36), "hi/lo float32-exact index packing limit"
+
+    idx_s2, pays2, F, packed = _pack_and_sort_stream(
+        idx, upd, payload, precision, subruns=S
+    )  # [R, Kr] each
+    R, Kr = idx_s2.shape
+    NP = len(pays2)
+    assert NP <= 6, "payload rows exceed the 8-row DMA block"
+    Kp = (_cdiv(Kr, UC) + 1) * UC
+    Mp = R * Kp
+    idx_p = jnp.pad(idx_s2, ((0, 0), (0, Kp - Kr)), constant_values=E_pad)
+    flat = idx_p.reshape(-1)
+    rows = [
+        (flat >> 12).astype(jnp.float32),
+        (flat & 4095).astype(jnp.float32),
+    ] + [
+        jnp.pad(p, ((0, 0), (0, Kp - Kr))).reshape(-1) for p in pays2
+    ]
+    data = jnp.concatenate(
+        [jnp.stack(rows), jnp.zeros((8 - 2 - NP, Mp), jnp.float32)]
+    )  # [8, Mp]
+
+    blocks, cbase, colblk, gtot = _subrun_ranges(
+        idx_p, bounds, S, n_tiles, TS, UC
+    )
+    return _launch_tile_kernel(
+        blocks, cbase, colblk, gtot, data,
+        n_rows=n_rows, E_pad=E_pad, n_tiles=n_tiles, TS=TS, UC=UC, CB=CB,
+        F=F, precision=precision, packed=packed, interpret=interpret,
+    )
+
+
+def _subrun_ranges(idx_p, bounds, S, n_tiles, TS, UC):
+    """Chunk schedule for a stream of G·S per-level sorted sub-runs.
+
+    idx_p: [R, Kp] padded sorted runs (R = G·S, run r covers level r//S
+    whose static table range is bounds[r//S]). Returns the same
+    (blocks, cbase, colblk, gtot) contract as _tile_ranges; `blocks` is
+    synthesized as (0, count·CB) per tile so the kernel's
+    cdiv(b1-b0, CB) recovers the per-tile chunk count — the kernel needs
+    no changes for multi-segment tiles.
+
+    Only statically-possible (tile, run) pairs become segments (a run
+    can only hold rows of its own level's table range), so the
+    searchsorted work is S·(touched tiles + levels) queries over
+    per-run 128-strided samples, not tiles × runs.
+    """
+    CB = UC // _LANE
+    R, Kp = idx_p.shape
+    G = R // S
+    Lsp = Kp // _LANE
+    samp = idx_p[:, ::_LANE]  # [R, Lsp]
+
+    # ---- static per-level tile edges (numpy, trace-time) -------------
+    t0 = np.array([lo // TS for lo, hi in bounds], np.int64)
+    t1 = np.array([-(-hi // TS) for lo, hi in bounds], np.int64)  # excl
+    ntl = t1 - t0  # candidate tiles per level
+    Q = int(ntl.max()) + 1  # edges per level, padded with duplicates
+    edges_np = np.zeros((G, Q), np.int64)
+    for g in range(G):
+        e = (t0[g] + np.arange(ntl[g] + 1)) * TS
+        edges_np[g, : ntl[g] + 1] = e
+        edges_np[g, ntl[g] + 1:] = e[-1]  # duplicate → masked below
+    edges = jnp.asarray(np.repeat(edges_np, S, axis=0), jnp.int32)  # [R, Q]
+
+    # ---- dynamic per-(run, tile) block ranges ------------------------
+    j = jax.vmap(
+        lambda s, e: jnp.searchsorted(s, e, side="left")
+    )(samp, edges).astype(jnp.int32)  # [R, Q]
+    b0 = jnp.maximum(j[:, :-1] - 1, 0)  # [R, Q-1], run-local blocks
+    b1 = jnp.maximum(j[:, 1:], b0)
+    valid = np.arange(Q - 1)[None, :] < np.repeat(ntl, S)[:, None]  # [R, Q-1]
+    nch = jnp.where(
+        jnp.asarray(valid), (b1 - b0 + CB - 1) // CB, 0
+    )  # [R, Q-1]
+
+    # ---- static tile-major segment ordering --------------------------
+    tiles_rq = (
+        np.repeat(t0, S)[:, None] + np.arange(Q - 1)[None, :]
+    )  # [R, Q-1]
+    tiles_rq = np.where(valid, tiles_rq, n_tiles)  # invalid → tail bucket
+    order = np.argsort(tiles_rq.reshape(-1), kind="stable")
+    tile_sorted = tiles_rq.reshape(-1)[order]  # static
+    run_of = np.repeat(np.arange(R), Q - 1)[order]  # static
+    nch_s = nch.reshape(-1)[order]
+    blk0_s = jnp.asarray(run_of * Lsp, jnp.int32) + b0.reshape(-1)[order]
+    n_segs = int(nch_s.shape[0])
+
+    counts = (
+        jnp.zeros((n_tiles + 1,), jnp.int32)
+        .at[jnp.asarray(tile_sorted, jnp.int32)]
+        .add(nch_s, indices_are_sorted=True)
+    )[:n_tiles]
+    cbase = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )  # [n_tiles + 1]
+
+    # ---- chunk → segment mapping (marks/cumsum, as in _tile_ranges) --
+    segbase = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch_s, dtype=jnp.int32)]
+    )
+    # static bound: every block is in ≤1 chunk (+ per-seg ceil rounding)
+    g_max = R * Kp // UC + n_segs + 8
+    marks = (
+        jnp.zeros((g_max,), jnp.int32)
+        .at[jnp.clip(segbase[:-1], 0, g_max - 1)]
+        .add(1, indices_are_sorted=True)
+    )
+    s_of = jnp.clip(jnp.cumsum(marks) - 1, 0, n_segs - 1)
+    g_ar = jnp.arange(g_max, dtype=jnp.int32)
+    colblk = blk0_s[s_of] + (g_ar - segbase[s_of]) * CB
+    colblk = jnp.clip(colblk, 0, (R * Kp - UC) // _LANE)
+    gtot = cbase[-1:]  # VALID chunks only (invalid-seg tail excluded)
+    blocks = jnp.stack([jnp.zeros_like(counts), counts * CB])  # [2, n_tiles]
     return blocks, cbase, colblk, gtot
 
 
@@ -1141,8 +1363,13 @@ def _maybe_pin_rowmajor(table: Array) -> Array:
     return table
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gather_rows_lmajor(table: Array, idx: Array, cast: Optional[str] = None) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows_lmajor(
+    table: Array,
+    idx: Array,
+    cast: Optional[str] = None,
+    bounds: Optional[Tuple[Tuple[int, int], ...]] = None,
+) -> Array:
     """table[idx] for LEVEL-MAJOR hash-grid indices idx [L, ...].
 
     Same contract as gather_rows_leveled but with the level axis leading,
@@ -1157,6 +1384,14 @@ def gather_rows_lmajor(table: Array, idx: Array, cast: Optional[str] = None) -> 
     fp32 parameter — an outer ``table.astype(bf16)`` forces the 19 MB
     table cotangent through a bf16 round-trip in an awkward minor-4
     layout (measured 7.4 ms/step on the flagship).
+
+    ``bounds``: static per-level table row ranges ((lo, hi) per leading
+    idx row). Purely an optimization hint: it lets the backward's sorted
+    scatter split each level's row sort into SUB-RUN batched sorts
+    (AVR_TPU_SORT_SUBRUNS — XLA's batched sort cost is strongly
+    super-linear in row length, measured 2.5-4.5x cheaper at K/8..K/16,
+    scripts/sort_probe.py) and cover the S sorted runs per table tile in
+    the scatter kernel's chunk schedule.
     """
     table = _maybe_pin_rowmajor(table)
     t = table.astype(cast) if cast is not None else table
@@ -1213,7 +1448,7 @@ def _maybe_barrier(g: Array) -> Array:
     return g
 
 
-def _gather_lmaj_fwd(table, idx, cast):
+def _gather_lmaj_fwd(table, idx, cast, bounds=None):
     table = _maybe_pin_rowmajor(table)
     t = table.astype(cast) if cast is not None else table
     idx = _maybe_idx_barrier(idx)
@@ -1251,7 +1486,7 @@ def _maybe_pin_grad_consumer(d: Array) -> Array:
     return d
 
 
-def _gather_lmaj_bwd(cast, res, g):
+def _gather_lmaj_bwd(cast, bounds, res, g):
     idx, (E, F), is_bf16, table_bf16 = res
     out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
     L = idx.shape[0]
@@ -1273,9 +1508,9 @@ def _gather_lmaj_bwd(cast, res, g):
         g2 = g.reshape(L, M, F)
         if not (payload == "bf16" and is_bf16 and F % 2 == 0):
             g2 = g2.astype(jnp.float32)  # packed path needs bf16 + even F
-        d = scatter_add_rows(idx.reshape(L, M), g2, E, payload=payload).astype(
-            out_dtype
-        )
+        d = scatter_add_rows(
+            idx.reshape(L, M), g2, E, payload=payload, seg_bounds=bounds
+        ).astype(out_dtype)
     return _maybe_pin_grad_consumer(d), jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
 
 
