@@ -248,10 +248,19 @@ def _append_full_docs(rows) -> None:
     path = os.path.join(os.path.dirname(__file__), "..", "docs", "SCALING.md")
     with open(path) as f:
         text = f.read()
-    # idempotent: drop a previous full-scale section before re-appending
-    text = text.split(_FULL_HEADER)[0]
+    # idempotent: drop a previous full-scale section before re-appending,
+    # but PRESERVE any hand-written sections that follow it (the r3 SPMD
+    # overhead + r4 AOT sections were silently lost once — r5)
+    head, sep, rest = text.partition(_FULL_HEADER)
+    tail = ""
+    if sep:
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt:]
     with open(path, "w") as f:
-        f.write(text)
+        f.write(head)
+        if tail:
+            pass  # re-attached after the regenerated table below
         f.write(
             _FULL_HEADER
             + "\nSame sharded train step at the REAL RAF-Furnished scale\n"
@@ -270,6 +279,8 @@ def _append_full_docs(rows) -> None:
                 f"{r['flops']/1e12:.3f}T | {r['ar_bytes']/1e6:.2f}MB | "
                 f"{r['comm']} |\n"
             )
+        if tail:
+            f.write(tail)
     print(f"table appended -> {os.path.abspath(path)}", flush=True)
 
 
