@@ -87,6 +87,7 @@ class Study:
             )
             self._db.commit()
         self._mem_trials: List[Dict[str, Any]] = []
+        self._max_pending = -1  # highest number handed out by ask()
 
     # -- storage -------------------------------------------------------
     def _completed(self) -> List[Dict[str, Any]]:
@@ -214,6 +215,28 @@ class Study:
                 best_u, best_score = u, score
         v = self._from_unit(spec, best_u)
         return round(v) if spec.kind == "int" else v
+
+    # -- ask/tell ------------------------------------------------------
+    def ask(self) -> Trial:
+        """Sample a new trial without running it (Optuna's batched
+        ``study.ask()`` surface). Numbers account for pending asked
+        trials so a population batch gets K distinct numbers; sampling
+        uses the completed history only, so the K draws of one batch
+        come from the same TPE posterior (the standard synchronous-batch
+        relaxation — candidate draws are stochastic, so the batch stays
+        diverse)."""
+        number = max(self._max_number(), self._max_pending) + 1
+        self._max_pending = number
+        return Trial(self, number)
+
+    def tell(self, trial: Trial, value: Optional[float],
+             state: str = "COMPLETE") -> None:
+        """Record an asked trial's outcome (value=None + state='FAIL'
+        for a crashed trial)."""
+        self._record(
+            trial.number, state,
+            None if value is None else float(value), trial.params,
+        )
 
     # -- driver --------------------------------------------------------
     def optimize(

@@ -160,8 +160,27 @@ def make_train_step(
     tc: TrainConfig,
     crit: CriterionConfig,
     mesh_plan: Optional[MeshPlan] = None,
+    population: int = 0,
 ):
-    """Build the jitted train step: (state, batch, key) → (state, bundle)."""
+    """Build the jitted train step: (state, batch, key) → (state, bundle).
+
+    population > 0: vmap the step over a leading [K] trial axis on
+    ``state`` and the runtime-hparam bundle ``hp`` (batch/key/iteration
+    shared across trials) — ONE program advances K HPO trials in
+    lockstep. TPU-native vectorized HPO: the small per-trial workload is
+    latency/dispatch-bound on one chip, so batching trials onto the MXU
+    multiplies trial throughput (hpo/population.py; the reference's
+    Optuna loop runs strictly one trial at a time,
+    reference/optuna_avr_runner.py:141-164). Requires
+    ``tc.runtime_hparams`` (trial identity lives entirely in hp) and is
+    mutually exclusive with mesh_plan.
+    """
+    if population:
+        assert getattr(tc, "runtime_hparams", False), (
+            "population mode needs runtime_hparams=True: the K trials "
+            "share one compiled program and differ only in the hp bundle"
+        )
+        assert mesh_plan is None, "population mode is single-device"
     tx = make_optimizer(tc)
     compute_dtype = (
         None if tc.compute_dtype in ("float32", "none", None) else jnp.dtype(tc.compute_dtype)
@@ -276,9 +295,24 @@ def make_train_step(
 
         return wrapped
 
+    def _maybe_vmap(fn):
+        if not population:
+            return fn
+        # state + hp carry the trial axis; batch/key/iteration are shared
+        # (every trial sees the identical data stream — the runtime
+        # variant's serial trials share the sampler seed too)
+        return jax.vmap(fn, in_axes=(0, None, None, None, 0))
+
     K = max(1, int(getattr(tc, "steps_per_call", 1)))
     if K == 1:
-        return jax.jit(_with_mesh_ctx(train_step_core), donate_argnums=(0,)), render
+        def train_one_step(state, batch, key, it, hp=None):
+            return train_step_core(state, batch, key, it, hp)
+
+        return (
+            jax.jit(_with_mesh_ctx(_maybe_vmap(train_one_step)),
+                    donate_argnums=(0,)),
+            render,
+        )
 
     def train_multi_step(state: TrainState, batches: Dict[str, jax.Array],
                          key: jax.Array, it0: jax.Array,
@@ -299,4 +333,8 @@ def make_train_step(
             body, state, (jnp.arange(K, dtype=jnp.int32), batches)
         )
 
-    return jax.jit(_with_mesh_ctx(train_multi_step), donate_argnums=(0,)), render
+    return (
+        jax.jit(_with_mesh_ctx(_maybe_vmap(train_multi_step)),
+                donate_argnums=(0,)),
+        render,
+    )

@@ -40,7 +40,15 @@ def main():
     ap.add_argument("--variant", default="das",
                     choices=["base", "ch", "ch_without_das", "ch_only_das", "das", "runtime"])
     ap.add_argument("--interp", default="simplex")
+    ap.add_argument("--pop", type=int, default=0,
+                    help="population size K: advance K runtime-variant "
+                         "trials per vmapped train step (ONE compiled "
+                         "program, hpo/population.py) instead of the "
+                         "serial trial loop; requires --variant runtime")
     args = ap.parse_args()
+    if args.pop and args.variant != "runtime":
+        ap.error("--pop requires --variant runtime (trial identity must "
+                 "be a runtime-hparam bundle)")
 
     os.makedirs(ROOT, exist_ok=True)
     data_dir = os.path.join("results", "interp_fullbudget", "data")
@@ -61,7 +69,12 @@ def main():
     # one (r3's das study keeps its original untagged name)
     study_name = f"avr_tpu_{args.variant}" + (
         f"_{args.iters}" if args.iters != 1500 else ""
-    )
+    ) + (f"_pop{args.pop}" if args.pop else "")
+    if args.pop:
+        # distinct expname prefix: population trials must never share a
+        # logdir (and its val_result/) with an earlier serial trial of
+        # the same number from another study variant
+        cfg.path.expname = f"pop{args.iters}_param_0_1"
     study = Study(
         study_name,
         storage=f"sqlite:///{os.path.join(ROOT, 'study.db')}",
@@ -72,7 +85,28 @@ def main():
     todo = max(args.n_trials - done_before, 0)
     print(f"study: {done_before} trials recorded, running {todo} more",
           flush=True)
-    if todo:
+    if todo and args.pop:
+        # vectorized path: ask K trials, train them as ONE vmapped
+        # population, tell K results; repeat until the budget is done
+        from avr_tpu.hpo.population import PopulationRunner
+        from avr_tpu.hpo.runner import doa_objective_from_logdir, update_config
+
+        while len(study.trials) < args.n_trials:
+            B = min(args.pop, args.n_trials - len(study.trials))
+            trials = [study.ask() for _ in range(B)]
+            tcfgs = [
+                update_config(cfg, 0, t.number, t, "runtime") for t in trials
+            ]
+            pop = PopulationRunner(tcfgs, data_dir)
+            pop.train()
+            for t, c in zip(trials, tcfgs):
+                logdir = os.path.join(c.path.logdir, c.path.expname)
+                try:
+                    study.tell(t, doa_objective_from_logdir(logdir, cfg.render.fs))
+                except Exception as e:  # one bad trial must not kill the batch
+                    print(f"trial {t.number} objective failed: {e}", flush=True)
+                    study.tell(t, None, state="FAIL")
+    elif todo:
         study.optimize(
             make_objective(cfg, data_dir, start_index=0, variant=args.variant),
             n_trials=todo,
@@ -90,7 +124,7 @@ def main():
         iters_tag
         if args.variant == "das"
         else f"_{args.variant}{iters_tag}"
-    )
+    ) + (f"_pop{args.pop}" if args.pop else "")
     with open(os.path.join(ROOT, f"study_trials{tag}.jsonl"), "w") as f:
         for t in study.trials:
             f.write(json.dumps(t) + "\n")
