@@ -1,11 +1,24 @@
 #!/bin/bash
-# Round-5 serial chip batch #4: HPO QUALITY study (VERDICT r4 item 7) —
-# runtime-variant (one compiled program, runtime-scalar hparams) at a
-# per-trial budget big enough for the DoA objective to become
-# informative (the fullbudget curves cross <15 deg around 8k iters).
-# Usage: bash scripts/r5_hw_batch4.sh [n_trials] 2>&1 | tee /tmp/r5_batch4.log
+# Round-5 serial chip batch #4: HPO QUALITY study (VERDICT r4 item 7)
+# via the vectorized population path (hpo/population.py) — K trials per
+# vmapped step make a quality-budget (8k-iter) study fit the remaining
+# chip window.
+#
+# Phase 1: throughput probe (K=1/4/8; if the default Pallas sorted
+# scatter fails or stalls under vmap, re-probe with the XLA scatter).
+# Phase 2: the study at the winning K.
+# Usage: bash scripts/r5_hw_batch4.sh [n_trials] [iters] 2>&1 | tee /tmp/r5_batch4.log
 set -x
 cd "$(dirname "$0")/.."
-N=${1:-20}
-timeout 10800 python scripts/hpo_real_study.py "$N" --iters 8000 \
-  --variant runtime --interp "hybridc:4"
+N=${1:-16}
+IT=${2:-8000}
+
+echo "=== [A] population throughput probe (default scatter path)"
+timeout 2700 python scripts/pop_probe.py 1,4,8 || {
+  echo "=== [A2] default path failed — probing AVR_TPU_SCATTER=xla fallback"
+  AVR_TPU_SCATTER=xla timeout 2700 python scripts/pop_probe.py 1,4,8
+}
+
+echo "=== [B] population quality study: $N trials x ${IT} iters, pop 8"
+timeout 10800 python scripts/hpo_real_study.py "$N" --iters "$IT" \
+  --variant runtime --interp "hybridc:4" --pop 8
