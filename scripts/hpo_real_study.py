@@ -32,6 +32,35 @@ from avr_tpu.hpo.study import Study  # noqa: E402
 ROOT = os.path.join("results", "hpo_study")
 
 
+def _write_artifacts(study, args, wall, new_trials=None):
+    """Dump study_trials jsonl + report png and print the summary line.
+
+    Per-variant artifact names so re-runs never clobber earlier studies'
+    committed outputs (r3: the das study at the default budget); a
+    non-default --iters gets a suffix for EVERY variant, das included,
+    and population studies a further _pop{K} suffix."""
+    iters_tag = f"_{args.iters}" if args.iters != 1500 else ""
+    tag = (
+        iters_tag
+        if args.variant == "das"
+        else f"_{args.variant}{iters_tag}"
+    ) + (f"_pop{args.pop}" if args.pop else "")
+    with open(os.path.join(ROOT, f"study_trials{tag}.jsonl"), "w") as f:
+        for t in study.trials:
+            f.write(json.dumps(t) + "\n")
+    rep = study_report(study, os.path.join(ROOT, f"study_report{tag}.png"))
+    print(json.dumps({
+        "n_trials": rep["n_trials"],
+        "best_value": rep["best_value"],
+        "best_params": rep["best_params"],
+        "new_trials": new_trials,
+        "wall_seconds": round(wall, 1),
+        "trials_per_hour": (
+            round(3600 * new_trials / wall, 2) if new_trials and wall else None
+        ),
+    }, indent=1), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("n_trials", nargs="?", type=int, default=8)
@@ -106,37 +135,17 @@ def main():
                 except Exception as e:  # one bad trial must not kill the batch
                     print(f"trial {t.number} objective failed: {e}", flush=True)
                     study.tell(t, None, state="FAIL")
+            # incremental artifacts: a time-boxed study interrupted
+            # between batches still leaves a complete trials file +
+            # report (the SQLite study itself resumes either way)
+            _write_artifacts(study, args, time.time() - t0)
     elif todo:
         study.optimize(
             make_objective(cfg, data_dir, start_index=0, variant=args.variant),
             n_trials=todo,
             catch=(Exception,),
         )
-    wall = time.time() - t0
-
-    # per-variant artifact names so re-runs never clobber earlier
-    # studies' committed outputs (r3: the das study at the default
-    # budget); a non-default --iters gets a suffix for EVERY variant,
-    # das included — otherwise a das re-run at another budget would
-    # overwrite the committed r3 study outputs.
-    iters_tag = f"_{args.iters}" if args.iters != 1500 else ""
-    tag = (
-        iters_tag
-        if args.variant == "das"
-        else f"_{args.variant}{iters_tag}"
-    ) + (f"_pop{args.pop}" if args.pop else "")
-    with open(os.path.join(ROOT, f"study_trials{tag}.jsonl"), "w") as f:
-        for t in study.trials:
-            f.write(json.dumps(t) + "\n")
-    rep = study_report(study, os.path.join(ROOT, f"study_report{tag}.png"))
-    print(json.dumps({
-        "n_trials": rep["n_trials"],
-        "best_value": rep["best_value"],
-        "best_params": rep["best_params"],
-        "new_trials": todo,
-        "wall_seconds": round(wall, 1),
-        "trials_per_hour": round(3600 * todo / wall, 2) if todo and wall else None,
-    }, indent=1), flush=True)
+    _write_artifacts(study, args, time.time() - t0, new_trials=todo)
 
 
 if __name__ == "__main__":
