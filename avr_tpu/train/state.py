@@ -305,11 +305,12 @@ def make_train_step(
 
     K = max(1, int(getattr(tc, "steps_per_call", 1)))
     if K == 1:
-        def train_one_step(state, batch, key, it, hp=None):
-            return train_step_core(state, batch, key, it, hp)
-
+        # NOTE: vmap train_step_core directly (no wrapper) — a wrapper
+        # would rename the traced function, which renames the HLO module
+        # and misses the persistent remote-compile cache for every
+        # existing non-population program
         return (
-            jax.jit(_with_mesh_ctx(_maybe_vmap(train_one_step)),
+            jax.jit(_with_mesh_ctx(_maybe_vmap(train_step_core)),
                     donate_argnums=(0,)),
             render,
         )
