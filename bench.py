@@ -96,6 +96,9 @@ def main() -> None:
             try:
                 result.update(fn())
             except Exception as e:  # extras must never sink the headline
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)  # full cause to stderr
                 result[f"{k}_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(result))
 
