@@ -121,8 +121,12 @@ def main():
         from avr_tpu.hpo.runner import doa_objective_from_logdir, update_config
 
         while len(study.trials) < args.n_trials:
-            B = min(args.pop, args.n_trials - len(study.trials))
-            trials = [study.ask() for _ in range(B)]
+            # ALWAYS full-width batches: a trailing batch with fewer
+            # lanes would change the vmap axis size — a different
+            # program and a fresh multi-minute remote compile for a
+            # handful of leftover trials. Extra completed trials past
+            # n_trials are kept (more evidence, same compile).
+            trials = [study.ask() for _ in range(args.pop)]
             tcfgs = [
                 update_config(cfg, 0, t.number, t, "runtime") for t in trials
             ]

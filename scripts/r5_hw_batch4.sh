@@ -14,9 +14,12 @@ N=${1:-16}
 IT=${2:-8000}
 
 echo "=== [A] population throughput probe (default scatter path)"
-timeout 2700 python scripts/pop_probe.py 1,4,8 || {
+# K=8 only: the serial baseline is already measured (r4 runtime study,
+# 19.6 trials/h = 184 s/trial) and each probe K is a fresh remote
+# compile (1-15 min) — don't spend two compiles on inferable points
+timeout 2700 python scripts/pop_probe.py 8 || {
   echo "=== [A2] default path failed — probing AVR_TPU_SCATTER=xla fallback"
-  AVR_TPU_SCATTER=xla timeout 2700 python scripts/pop_probe.py 1,4,8
+  AVR_TPU_SCATTER=xla timeout 2700 python scripts/pop_probe.py 8
 }
 
 echo "=== [B] population quality study: $N trials x ${IT} iters, pop 8"
