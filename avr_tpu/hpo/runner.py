@@ -51,7 +51,14 @@ def update_config(
         # terms exist) stays at the base config's values.
         t = cfg.train
         t.runtime_hparams = True
-        t.lr = trial.suggest_float("lr", 1e-6, 1e-4, log=True)
+        # wider lr ceiling than the reference's base space (1e-4,
+        # optuna_avr_runner.py:13-80, kept verbatim in the parity
+        # variants below): the synthetic-array workload's known-good
+        # optimum sits at 1e-3 (every full-budget gate run,
+        # results/interp_fullbudget/) — a 1e-4 cap would exclude the
+        # region a quality study must find. 'runtime' is this repo's
+        # own compile-aware space, not a reference-parity one.
+        t.lr = trial.suggest_float("lr", 1e-6, 2e-3, log=True)
         # eta_min as a FIXED-RANGE ratio of lr: per-trial-varying bounds
         # degrade TPE's per-parameter density models and make
         # cross-trial eta_min values scale-confounded (advisor r4).
