@@ -60,10 +60,18 @@ def _structural_key(cfg: AVRConfig) -> str:
 
     c = copy.deepcopy(cfg)
     for f in _RUNTIME_FIELDS:
-        # weight VALUES are runtime, but zero-vs-nonzero is structural
-        # (the criterion omits a term's graph when its weight is 0 —
-        # hpo/runner.py "value runtime, branch structural")
-        setattr(c.train, f, 1.0 if getattr(c.train, f) > 0 else 0.0)
+        if f.startswith("das_"):
+            # DAS weights: the VALUE is runtime but zero-vs-nonzero is
+            # structural — the beamforming branch is built only when the
+            # static weight is >0 (hpo/runner.py "value runtime, branch
+            # structural")
+            setattr(c.train, f, 1.0 if getattr(c.train, f) > 0 else 0.0)
+        else:
+            # everything else is a pure runtime scalar: the lowered
+            # program is identical across ANY value, including 0
+            # (tests/test_train.py::test_runtime_hparams_program_invariant
+            # covers weight_decay 0 → 1e-3 and spec 1 → 77)
+            setattr(c.train, f, 1.0)
     c.path.expname = "_"
     return json.dumps(c.to_dict(), sort_keys=True, default=str)
 

@@ -37,24 +37,38 @@ class ParamSpec:
 
 
 class Trial:
-    def __init__(self, study: "Study", number: int):
+    def __init__(self, study: "Study", number: int,
+                 queued: Optional[Dict[str, Any]] = None):
         self.study = study
         self.number = number
         self.params: Dict[str, Any] = {}
+        # enqueue_trial payload: fixed values served instead of sampling
+        self._queued = queued or {}
 
     # -- suggest API ---------------------------------------------------
     def suggest_float(self, name: str, low: float, high: float, log: bool = False) -> float:
-        v = self.study._sample(name, ParamSpec("float", low, high, log))
+        if name in self._queued:
+            v = min(max(float(self._queued[name]), low), high)
+        else:
+            v = self.study._sample(name, ParamSpec("float", low, high, log))
         self.params[name] = float(v)
         return float(v)
 
     def suggest_int(self, name: str, low: int, high: int) -> int:
-        v = self.study._sample(name, ParamSpec("int", low, high))
+        if name in self._queued:
+            v = min(max(int(self._queued[name]), low), high)
+        else:
+            v = self.study._sample(name, ParamSpec("int", low, high))
         self.params[name] = int(v)
         return int(v)
 
     def suggest_categorical(self, name: str, choices: Sequence[Any]) -> Any:
-        v = self.study._sample(name, ParamSpec("categorical", choices=list(choices)))
+        if name in self._queued and self._queued[name] in choices:
+            v = self._queued[name]
+        else:
+            v = self.study._sample(
+                name, ParamSpec("categorical", choices=list(choices))
+            )
         self.params[name] = v
         return v
 
@@ -88,6 +102,7 @@ class Study:
             self._db.commit()
         self._mem_trials: List[Dict[str, Any]] = []
         self._max_pending = -1  # highest number handed out by ask()
+        self._queue: List[Dict[str, Any]] = []  # enqueue_trial payloads
 
     # -- storage -------------------------------------------------------
     def _completed(self) -> List[Dict[str, Any]]:
@@ -217,6 +232,13 @@ class Study:
         return round(v) if spec.kind == "int" else v
 
     # -- ask/tell ------------------------------------------------------
+    def enqueue_trial(self, params: Dict[str, Any]) -> None:
+        """Queue fixed parameter values for the next asked/optimized
+        trial (Optuna's ``enqueue_trial``): suggest_* serves the queued
+        value (clamped to the spec's range) instead of sampling. Used to
+        seed a study with a known-good configuration."""
+        self._queue.append(dict(params))
+
     def ask(self) -> Trial:
         """Sample a new trial without running it (Optuna's batched
         ``study.ask()`` surface). Numbers account for pending asked
@@ -227,7 +249,8 @@ class Study:
         diverse)."""
         number = max(self._max_number(), self._max_pending) + 1
         self._max_pending = number
-        return Trial(self, number)
+        queued = self._queue.pop(0) if self._queue else None
+        return Trial(self, number, queued=queued)
 
     def tell(self, trial: Trial, value: Optional[float],
              state: str = "COMPLETE") -> None:
@@ -250,7 +273,10 @@ class Study:
         semantics); other exceptions propagate after being recorded."""
         start = self._max_number() + 1
         for i in range(n_trials):
-            trial = Trial(self, start + i)
+            trial = Trial(
+                self, start + i,
+                queued=self._queue.pop(0) if self._queue else None,
+            )
             try:
                 value = float(objective(trial))
             except Exception as e:

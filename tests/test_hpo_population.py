@@ -69,6 +69,19 @@ def test_ask_tell_surface():
     assert study.ask().number == 3
 
 
+def test_enqueue_trial_seeds_values():
+    """enqueue_trial serves fixed values (clamped to range) to the next
+    asked trial only — the seed-lane mechanism of the population study."""
+    study = Study("s", n_startup=2)
+    study.enqueue_trial({"lr": 1e-3, "x": 5})
+    t = study.ask()
+    assert t.suggest_float("lr", 1e-6, 2e-3, log=True) == 1e-3
+    assert t.suggest_int("x", 0, 3) == 3  # clamped to high
+    t2 = study.ask()
+    v = t2.suggest_float("lr", 1e-6, 2e-3, log=True)
+    assert 1e-6 <= v <= 2e-3 and v != 1e-3  # sampled, not replayed
+
+
 def test_population_step_matches_serial():
     """One vmapped population step == K independent runtime-variant
     steps with the same data/key (exact: same program per lane)."""
