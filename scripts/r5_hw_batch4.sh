@@ -10,8 +10,8 @@
 # Usage: bash scripts/r5_hw_batch4.sh [n_trials] [iters] 2>&1 | tee /tmp/r5_batch4.log
 set -x
 cd "$(dirname "$0")/.."
-N=${1:-16}
-IT=${2:-8000}
+N=${1:-32}
+IT=${2:-5000}
 
 echo "=== [A] population throughput probe (default scatter path)"
 # K=8 only: the serial baseline is already measured (r4 runtime study,
@@ -22,6 +22,6 @@ timeout 2700 python scripts/pop_probe.py 8 || {
   AVR_TPU_SCATTER=xla timeout 2700 python scripts/pop_probe.py 8
 }
 
-echo "=== [B] population quality study: $N trials x ${IT} iters, pop 8"
+echo "=== [B] population quality study: $N trials x ${IT} iters, pop 8 (earlier serial 5k-iter study hit 10.0 deg best in 8 trials)"
 timeout 10800 python scripts/hpo_real_study.py "$N" --iters "$IT" \
   --variant runtime --interp "hybridc:4" --pop 8
