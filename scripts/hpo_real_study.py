@@ -143,10 +143,22 @@ def main():
             ]
             pop = PopulationRunner(tcfgs, data_dir)
             pop.train()
-            for t, c in zip(trials, tcfgs):
-                logdir = os.path.join(c.path.logdir, c.path.expname)
+            # host-side DoA objectives are pure numpy — fan the K trials
+            # over worker processes (they serialize after each batch
+            # otherwise and sit on the study's critical path)
+            from concurrent.futures import ProcessPoolExecutor
+
+            logdirs = [
+                os.path.join(c.path.logdir, c.path.expname) for c in tcfgs
+            ]
+            with ProcessPoolExecutor(max_workers=2) as ex:
+                futs = [
+                    ex.submit(doa_objective_from_logdir, d, cfg.render.fs)
+                    for d in logdirs
+                ]
+            for t, fut in zip(trials, futs):
                 try:
-                    study.tell(t, doa_objective_from_logdir(logdir, cfg.render.fs))
+                    study.tell(t, fut.result())
                 except Exception as e:  # one bad trial must not kill the batch
                     print(f"trial {t.number} objective failed: {e}", flush=True)
                     study.tell(t, None, state="FAIL")
