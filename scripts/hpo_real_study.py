@@ -114,23 +114,27 @@ def main():
     todo = max(args.n_trials - done_before, 0)
     print(f"study: {done_before} trials recorded, running {todo} more",
           flush=True)
+    if todo and args.variant == "runtime" and not any(
+        t["params"].get("lr", 0) > 1.2e-4 for t in study.trials
+    ):
+        # seed only while the widened-lr region (>1e-4, the old ceiling)
+        # is unexplored — fresh studies AND resumed pre-widening ones
+        # seed trial: the full-budget gate runs' known-good
+        # configuration (results/interp_fullbudget/, make_cfg defaults +
+        # das_reg=10) — gives TPE an anchored good region from the start
+        # instead of blind startup draws (serial and population paths)
+        study.enqueue_trial({
+            "lr": 1e-3, "eta_min_ratio": 0.1, "weight_decay": 0.0,
+            "spec_loss_weight": 1.0, "angle_loss_weight": 0.5,
+            "time_loss_weight": 100.0, "energy_loss_weight": 5.0,
+            "multistft_loss_weight": 1.0, "das_reg_loss_weight": 10.0,
+        })
     if todo and args.pop:
         # vectorized path: ask K trials, train them as ONE vmapped
         # population, tell K results; repeat until the budget is done
         from avr_tpu.hpo.population import PopulationRunner
         from avr_tpu.hpo.runner import doa_objective_from_logdir, update_config
 
-        if not study.trials:
-            # seed lane: the full-budget gate runs' known-good
-            # configuration (results/interp_fullbudget/, make_cfg
-            # defaults + das_reg=10) — gives TPE an anchored good region
-            # from batch 1 instead of 8 blind draws
-            study.enqueue_trial({
-                "lr": 1e-3, "eta_min_ratio": 0.1, "weight_decay": 0.0,
-                "spec_loss_weight": 1.0, "angle_loss_weight": 0.5,
-                "time_loss_weight": 100.0, "energy_loss_weight": 5.0,
-                "multistft_loss_weight": 1.0, "das_reg_loss_weight": 10.0,
-            })
         while len(study.trials) < args.n_trials:
             # ALWAYS full-width batches: a trailing batch with fewer
             # lanes would change the vmap axis size — a different
